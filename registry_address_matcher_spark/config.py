@@ -1,0 +1,64 @@
+"""Engine configuration.
+
+Mirrors the reference's tunables (``/root/reference/config/settings.py:16-26``,
+``/root/reference/src/matching/advanced_matcher.py:181``) plus the Spark-side
+knobs the reference has no concept of (partitioning, salting, checkpointing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    """Semantics knobs — reference-faithful defaults."""
+
+    # rapidfuzz score threshold for accepting a fuzzy match
+    # (reference: advanced_matcher.py:181, slider default address.py:973-977)
+    fuzzy_threshold: float = 85.0
+    # fixed score assigned to exact matches (advanced_matcher.py:99, :149)
+    exact_score: float = 100.0
+    # per-probe-record result cap in top-k mode (settings.py:22, engine.py:204-206)
+    max_results_per_record: int = 100
+    # v3 weighted-blend weights (settings.py:23-26, engine.py:95-102)
+    blend_weights: tuple[float, float, float, float] = (0.4, 0.3, 0.2, 0.1)
+    # quality bucket thresholds (settings.py:18-21, engine.py:106-115)
+    quality_excellent: float = 90.0
+    quality_good: float = 75.0
+    quality_poor: float = 50.0
+    # scorer strategy order — ties between strategies go to the EARLIER one
+    # (advanced_matcher.py:380-397 uses strict `>` when comparing strategies)
+    strategies: tuple[str, ...] = (
+        "token_sort_ratio",
+        "token_set_ratio",
+        "partial_ratio",
+        "ratio",
+    )
+
+
+@dataclass(frozen=True)
+class ScaleConfig:
+    """Physical-execution knobs — no analogue in the single-thread reference."""
+
+    # target shuffle parallelism; None -> leave session default
+    shuffle_partitions: int | None = None
+    # blocks with more than this many build-side rows get salted
+    hot_block_threshold: int = 10_000
+    # number of salt buckets for hot keys
+    salt_buckets: int = 32
+    # hard cap on candidate pairs emitted per block (quadratic-block guard);
+    # blocks exceeding it are truncated deterministically and recorded in lineage
+    max_pairs_per_block: int | None = None
+    # localCheckpoint between connected-components iterations
+    cc_checkpoint_interval: int = 1
+    cc_max_iterations: int = 50
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    match: MatchConfig = field(default_factory=MatchConfig)
+    scale: ScaleConfig = field(default_factory=ScaleConfig)
+
+
+DEFAULT = EngineConfig()

@@ -1,0 +1,109 @@
+"""Blocking: candidate-pair generation with explicit skew handling.
+
+The reference's hash indexes (``advanced_matcher.py:30-55``) are blocking
+in disguise: a candidate pair exists iff both rows share a block key. In
+Spark the block is an equi-join; at 10^12-row scale the failure mode is a
+**hot block** (the reference's ubiquitous empty ``BUILDING_NORM``; in the
+repos domain a ubiquitous ``lang``): one key with k build rows and q probe
+rows emits k*q pairs into a single shuffle partition.
+
+Two mitigations, both explicit:
+
+* **salting** (:func:`salted_join`) — the probe side gets a random-but-
+  deterministic salt in [0, S); the build side is exploded S ways. Each hot
+  key's pairs are spread over S reducers. Cost: build-side duplication for
+  hot keys only (salting is applied selectively via a broadcast hot-key
+  list).
+* **pair caps** (:func:`cap_block`) — deterministic truncation of blocks
+  beyond a quota, recorded in lineage so truncation is auditable, never
+  silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import ScaleConfig
+
+
+def block_sizes(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Per-block row counts — feeds hot-key detection and lineage."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("block_rows"))
+
+
+def hot_keys(df: DataFrame, keys: list[str], threshold: int) -> DataFrame:
+    """Keys whose block exceeds ``threshold`` rows (candidates for salting)."""
+    return block_sizes(df, keys).filter(F.col("block_rows") > threshold).select(*keys)
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: list[str],
+    scale: ScaleConfig | None = None,
+    salt_col: str = "__salt",
+) -> DataFrame:
+    """Equi-join on ``keys`` with hot keys salted ``scale.salt_buckets`` ways.
+
+    Hot keys are detected on the build side with one cheap aggregate; the
+    hot-key list is broadcast (it is small by construction — keys above
+    threshold). Probe rows on hot keys get ``salt = pmod(hash(probe id
+    cols), S)``; build rows on hot keys are exploded across all S salts.
+    Cold keys join with salt 0 on both sides — no duplication.
+    """
+    scale = scale or ScaleConfig()
+    s = scale.salt_buckets
+    hot = hot_keys(build, keys, scale.hot_block_threshold).withColumn("__is_hot", F.lit(True))
+
+    probe_h = probe.join(F.broadcast(hot), keys, "left")
+    # deterministic salt from the whole probe row's key-independent hash
+    probe_salt = F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(s))
+    probe_h = probe_h.withColumn(
+        salt_col, F.when(F.col("__is_hot").isNotNull(), probe_salt).otherwise(F.lit(0))
+    ).drop("__is_hot")
+
+    build_h = build.join(F.broadcast(hot), keys, "left")
+    # explode cannot nest inside CASE WHEN — build the salt array first
+    build_h = (
+        build_h.withColumn(
+            "__salts",
+            F.when(
+                F.col("__is_hot").isNotNull(), F.sequence(F.lit(0), F.lit(s - 1))
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn(salt_col, F.explode("__salts"))
+        .drop("__salts", "__is_hot")
+    )
+
+    return probe_h.join(build_h, keys + [salt_col], "inner").drop(salt_col)
+
+
+def cap_block(
+    pairs: DataFrame,
+    block_keys: list[str],
+    probe_id: str,
+    build_id: str,
+    max_pairs: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministically truncate blocks that exceed ``max_pairs`` pairs.
+
+    Ordering inside a block is by (probe id, build id) hash so truncation
+    is stable across runs. Returns (kept_pairs, truncation_report) where
+    the report rows (block key, kept, dropped) feed the lineage sidecar.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*block_keys).orderBy(
+        F.xxhash64(F.col(probe_id), F.col(build_id))
+    )
+    ranked = pairs.withColumn("__pair_rank", F.row_number().over(w))
+    kept = ranked.filter(F.col("__pair_rank") <= max_pairs).drop("__pair_rank")
+    report = (
+        ranked.groupBy(*block_keys)
+        .agg(F.count(F.lit(1)).alias("total_pairs"))
+        .filter(F.col("total_pairs") > max_pairs)
+        .withColumn("kept_pairs", F.lit(max_pairs))
+        .withColumn("dropped_pairs", F.col("total_pairs") - max_pairs)
+    )
+    return kept, report

@@ -1,0 +1,130 @@
+"""Transitive clustering: connected components via large-star/small-star.
+
+The reference emits independent pairwise matches (at most one best CAD per
+SPR row) and never clusters them. The north-rule target requires
+transitive closure over match edges — implemented here as the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) expressed as DataFrame self-joins:
+
+* **large-star**: for each node u (over the bidirected edge set), connect
+  every strictly-larger neighbor v > u to m = min(N(u) ∪ {u});
+* **small-star**: orient edges so u >= v; connect every neighbor (and u)
+  to the minimum.
+
+Each iteration is two shuffles (window-min per node + projection);
+``localCheckpoint()`` truncates the lineage so the plan doesn't grow
+unboundedly; convergence is detected by an edge-set fingerprint
+(count + xor-hash), not driver-side collection of the edges themselves.
+
+Node ids are arbitrary strings; ordering is by (id) — any total order
+works for correctness, determinism comes free because the order is data-
+dependent only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import ScaleConfig
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set, canonical orientation (src < dst), no loops."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    b = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    w = Window.partitionBy("src")
+    b = b.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
+    return (
+        b.filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient so src >= dst
+    o = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    w = Window.partitionBy("src")
+    o = o.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
+    nbr = o.select("src", "dst", "m")
+    out = nbr.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
+        nbr.select(F.col("src"), F.col("m").alias("dst"))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-independent, overflow-free under ANSI mode
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    scale: ScaleConfig | None = None,
+) -> DataFrame:
+    """Resolve components; returns DataFrame[node string, component string]
+    where component = min node id of the component.
+
+    Isolated nodes (present only as self-edges or absent) are the caller's
+    concern — feed every node as a self-edge if singletons must appear.
+    """
+    scale = scale or ScaleConfig()
+    cur = _canonical(edges).localCheckpoint()
+    prev_fp = None
+    for it in range(scale.cc_max_iterations):
+        nxt = _small_star(_large_star(cur))
+        nxt = _canonical(nxt)
+        if scale.cc_checkpoint_interval and (it % scale.cc_checkpoint_interval == 0):
+            nxt = nxt.localCheckpoint()
+        fp = _fingerprint(nxt)
+        if fp == prev_fp:
+            cur = nxt
+            break
+        prev_fp = fp
+        cur = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {scale.cc_max_iterations} iterations"
+        )
+    # converged edge set is a star forest in canonical (src < dst) form:
+    # src is the component minimum (the root)
+    members = cur.select(F.col("dst").alias("node"), F.col("src").alias("component"))
+    roots = cur.select(F.col("src").alias("node"), F.col("src").alias("component")).distinct()
+    return members.union(roots).distinct()
+
+
+def cluster_matches(matches: DataFrame, scale: ScaleConfig | None = None) -> DataFrame:
+    """Cluster the 16-column match table transitively.
+
+    SPR and CAD ids live in different namespaces — prefix them so id
+    collisions across registries can't merge unrelated clusters. Returns
+    DataFrame[node, registry, address_id, component].
+    """
+    edges = matches.select(
+        F.concat(F.lit("S:"), F.col("ADDRESS_ID_SPR")).alias("src"),
+        F.concat(F.lit("C:"), F.col("ADDRESS_ID_CAD")).alias("dst"),
+    )
+    comp = connected_components(edges, scale)
+    return comp.select(
+        F.col("node"),
+        F.substring("node", 1, 1).alias("registry"),
+        F.expr("substring(node, 3)").alias("address_id"),
+        F.col("component"),
+    )

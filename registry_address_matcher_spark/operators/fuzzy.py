@@ -1,0 +1,146 @@
+"""Fuzzy matching phase (reference J4+J5) — block join, batched scoring,
+deterministic top-1.
+
+Reference semantics (``advanced_matcher.py:343-409``):
+
+* candidates = CAD rows with EXACT ``HOUSE_NORM`` **and** ``BUILDING_NORM``
+  equality (house index probe :347 + building filter :350-355); CAD rows
+  with empty ``HOUSE_NORM`` are never indexed (:43-45), SPR rows with
+  empty street bail (:377-378), empty-street candidates are dropped from
+  scoring but still counted in CANDIDATES_COUNT (:365-372 vs :406);
+* 4 scorers on the street pair; per strategy take the best candidate; the
+  best strategy wins with strict ``>`` — earlier strategy wins ties
+  (:388-397);
+* accept iff best score >= threshold (default 85).
+
+Spark realization: one equi-join on (HOUSE_NORM, BUILDING_NORM) — salted
+when skewed — then ONE Arrow-batched pandas UDF computing all 4 scores per
+pair, then a native window top-1 with the tie-break encoded as an explicit
+ORDER BY (score desc, strategy precedence asc, cad id asc). Never relies
+on row order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import MatchConfig, ScaleConfig
+from ..functions.similarity import best_of_strategies, fuzzy_scores
+from .blocking import salted_join
+from .exact import as_match_records, tag_side
+
+_PAIR_COLS = ["ADDRESS_ID", "STREET_NAME", "HOUSE", "BUILDING",
+              "FULL_ADDRESS", "COMPLETENESS_SCORE", "STREET_NORM"]
+
+
+def candidate_pairs(
+    spr: DataFrame,
+    cad: DataFrame,
+    scale: ScaleConfig | None = None,
+) -> DataFrame:
+    """J4 — block join on (HOUSE_NORM, BUILDING_NORM) with skew salting.
+
+    Keeps empty-street CAD candidates at this stage: the reference counts
+    them in CANDIDATES_COUNT even though it never scores them.
+    """
+    scale = scale or ScaleConfig()
+    keys = ["HOUSE_NORM", "BUILDING_NORM"]
+    probe = spr.filter(F.col("HOUSE_NORM") != "").select(*keys, *[
+        F.col(c).alias(f"{c}_SPR") for c in _PAIR_COLS
+    ])
+    build = cad.filter(F.col("HOUSE_NORM") != "").select(*keys, *[
+        F.col(c).alias(f"{c}_CAD") for c in _PAIR_COLS
+    ])
+    return salted_join(probe, build, keys, scale)
+
+
+def fuzzy_matches(
+    spr: DataFrame,
+    cad: DataFrame,
+    cfg: MatchConfig | None = None,
+    scale: ScaleConfig | None = None,
+) -> DataFrame:
+    """J4+J5 end-to-end: candidates -> batched scores -> top-1 -> threshold."""
+    cfg = cfg or MatchConfig()
+    pairs = candidate_pairs(spr, cad, scale)
+
+    # CANDIDATES_COUNT counts ALL house+building candidates per SPR row,
+    # including empty-street ones (advanced_matcher.py:406 uses
+    # len(exact_candidates) from :350-355, before the street filter).
+    w_cnt = Window.partitionBy("ADDRESS_ID_SPR")
+    pairs = pairs.withColumn("CANDIDATES_COUNT", F.count(F.lit(1)).over(w_cnt))
+
+    # scoring set: drop empty streets on both sides (:365-372, :377-378)
+    scored = pairs.filter(
+        (F.col("STREET_NORM_SPR") != "") & (F.col("STREET_NORM_CAD") != "")
+    ).withColumn("scores", fuzzy_scores(F.col("STREET_NORM_SPR"), F.col("STREET_NORM_CAD")))
+
+    best_score, best_strategy, strategy_rank = best_of_strategies("scores")
+    scored = (
+        scored.withColumn("best_score", best_score)
+        .withColumn("best_strategy", best_strategy)
+        .withColumn("strategy_rank", strategy_rank)
+    )
+
+    # deterministic top-1 per SPR row: the reference's strict-`>` strategy
+    # precedence + first-candidate tie-break, encoded as an explicit order
+    w_top = Window.partitionBy("ADDRESS_ID_SPR").orderBy(
+        F.col("best_score").desc(),
+        F.col("strategy_rank").asc(),
+        F.col("ADDRESS_ID_CAD").asc(),
+    )
+    top1 = (
+        scored.withColumn("__rn", F.row_number().over(w_top))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("best_score") >= F.lit(cfg.fuzzy_threshold))
+    )
+
+    rec = as_match_records(
+        top1,
+        F.col("best_score"),
+        F.concat(F.lit("FUZZY_STREET_"), F.upper(F.col("best_strategy"))),
+        F.col("CANDIDATES_COUNT"),
+    )
+    return rec
+
+
+def fuzzy_topk(
+    spr: DataFrame,
+    cad: DataFrame,
+    k: int = 100,
+    cfg: MatchConfig | None = None,
+    scale: ScaleConfig | None = None,
+) -> DataFrame:
+    """T3 variant (engine.py:204-206): per-probe top-k candidates above
+    threshold, deterministic order."""
+    cfg = cfg or MatchConfig()
+    pairs = candidate_pairs(spr, cad, scale)
+    w_cnt = Window.partitionBy("ADDRESS_ID_SPR")
+    pairs = pairs.withColumn("CANDIDATES_COUNT", F.count(F.lit(1)).over(w_cnt))
+    scored = pairs.filter(
+        (F.col("STREET_NORM_SPR") != "") & (F.col("STREET_NORM_CAD") != "")
+    ).withColumn("scores", fuzzy_scores(F.col("STREET_NORM_SPR"), F.col("STREET_NORM_CAD")))
+    best_score, best_strategy, strategy_rank = best_of_strategies("scores")
+    scored = (
+        scored.withColumn("best_score", best_score)
+        .withColumn("best_strategy", best_strategy)
+        .withColumn("strategy_rank", strategy_rank)
+        .filter(F.col("best_score") >= F.lit(cfg.fuzzy_threshold))
+    )
+    w_top = Window.partitionBy("ADDRESS_ID_SPR").orderBy(
+        F.col("best_score").desc(),
+        F.col("strategy_rank").asc(),
+        F.col("ADDRESS_ID_CAD").asc(),
+    )
+    topk = (
+        scored.withColumn("__rn", F.row_number().over(w_top))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    return as_match_records(
+        topk,
+        F.col("best_score"),
+        F.concat(F.lit("FUZZY_STREET_"), F.upper(F.col("best_strategy"))),
+        F.col("CANDIDATES_COUNT"),
+    )

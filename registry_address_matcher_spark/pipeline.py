@@ -1,0 +1,83 @@
+"""End-to-end match pipeline: the reference's E2 lifecycle, set-oriented.
+
+Reference orchestration (``/root/reference/main.py:366-418``): preprocess
+both registries -> exact phase (J1 then J2) -> collect matched SPR ids ->
+fuzzy phase on the remainder -> concat. Here each phase is a lazy
+DataFrame; stage materialization (persist or checkpoint parquet) replaces
+the reference's chunk loop and Streamlit session state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import EngineConfig, DEFAULT
+from .operators.cluster import cluster_matches
+from .operators.exact import (
+    exact_full_matches,
+    exact_key_matches,
+    exclude_matched,
+    unmatched,
+)
+from .operators.fuzzy import fuzzy_matches
+from .operators.preprocess import preprocess_registry
+
+
+@dataclass
+class MatchResult:
+    matches: DataFrame          # 16-column match table (union of all phases)
+    unmatched_spr: DataFrame    # J7 anti-join
+    clusters: DataFrame | None  # transitive components (None if skipped)
+
+
+def run_match_pipeline(
+    spr_raw: DataFrame,
+    cad_raw: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    with_clusters: bool = True,
+    persist: bool = True,
+) -> MatchResult:
+    """preprocess -> EXACT_FULL -> EXACT_KEY -> fuzzy(remainder) -> union."""
+    spr = preprocess_registry(spr_raw)
+    cad = preprocess_registry(cad_raw)
+    if persist:
+        # both sides are scanned by multiple phases — materialize once,
+        # the Spark analogue of the reference's @st.cache_data memoization
+        spr = spr.persist()
+        cad = cad.persist()
+
+    m1 = exact_full_matches(spr, cad, cfg.match)
+    pairs1 = m1.select("ADDRESS_ID_SPR", "ADDRESS_ID_CAD")
+    m2 = exact_key_matches(spr, cad, exclude_pairs=pairs1, cfg=cfg.match)
+    exact = m1.unionByName(m2)
+    if persist:
+        exact = exact.persist()
+
+    remainder = exclude_matched(spr, exact)
+    m3 = fuzzy_matches(remainder, cad, cfg.match, cfg.scale)
+
+    matches = exact.unionByName(m3)
+    if persist:
+        matches = matches.persist()
+
+    result = MatchResult(
+        matches=matches,
+        unmatched_spr=unmatched(spr, matches),
+        clusters=cluster_matches(matches, cfg.scale) if with_clusters else None,
+    )
+    return result
+
+
+def quality_buckets(matches: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """P9 (engine.py:106-115): score -> quality label."""
+    m = cfg.match
+    return matches.withColumn(
+        "match_quality",
+        F.when(F.col("MATCH_SCORE") >= m.quality_excellent, "Excellent")
+        .when(F.col("MATCH_SCORE") >= m.quality_good, "Good")
+        .when(F.col("MATCH_SCORE") >= m.quality_poor, "Poor")
+        .otherwise("No Match"),
+    )

@@ -1,0 +1,72 @@
+"""Connected components vs a union-find oracle, including convergence."""
+
+import numpy as np
+import pandas as pd
+
+from registry_address_matcher_spark.operators.cluster import connected_components
+
+
+class _UF:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def _oracle(edges):
+    uf = _UF()
+    for a, b in edges:
+        uf.union(a, b)
+    return {n: uf.find(n) for n in uf.p}
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]).astype(str))
+    out = connected_components(df).toPandas()
+    return dict(zip(out.node, out.component))
+
+
+def test_simple_chain(spark):
+    got = _run(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = np.random.RandomState(7)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    edges = [
+        (nodes[rng.randint(60)], nodes[rng.randint(60)])
+        for _ in range(90)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _run(spark, edges)
+    want = _oracle(edges)
+    # compare cluster partitions (component labels are both min-node, so equal)
+    assert got == {n: r for n, r in want.items()}
+
+
+def test_cluster_matches_namespaces(spark):
+    from registry_address_matcher_spark.operators.cluster import cluster_matches
+
+    m = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ADDRESS_ID_SPR": ["1", "2"],
+                "ADDRESS_ID_CAD": ["1", "1"],
+            }
+        )
+    )
+    out = cluster_matches(m).toPandas()
+    # SPR "1" and CAD "1" are distinct nodes; all connected through C:1
+    assert set(out.node) == {"S:1", "S:2", "C:1"}
+    assert len(set(out.component)) == 1

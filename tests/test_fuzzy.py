@@ -1,0 +1,89 @@
+"""Fuzzy-phase semantics: blocking, counts, tie-breaks, thresholds."""
+
+import pandas as pd
+
+from registry_address_matcher_spark.config import MatchConfig, ScaleConfig
+from registry_address_matcher_spark.operators.fuzzy import fuzzy_matches
+from registry_address_matcher_spark.operators.preprocess import preprocess_registry
+
+
+def _reg(spark, rows):
+    return preprocess_registry(spark.createDataFrame(pd.DataFrame(rows).astype(object)))
+
+
+def test_fuzzy_blocks_on_house_and_building(spark):
+    spr = _reg(spark, [{"ADDRESS_ID": "S1", "STREET_NAME": "ԱԲՈՎՅԱՆԻ", "HOUSE": "5", "BUILDING": ""}])
+    cad = _reg(
+        spark,
+        [
+            # same street, WRONG house -> never a candidate (reference bails)
+            {"ADDRESS_ID": "C1", "STREET_NAME": "ԱԲՈՎՅԱՆ", "HOUSE": "6", "BUILDING": ""},
+            # right block, similar street -> match
+            {"ADDRESS_ID": "C2", "STREET_NAME": "ԱԲՈՎՅԱՆ", "HOUSE": "5", "BUILDING": ""},
+        ],
+    )
+    out = fuzzy_matches(spr, cad).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0].ADDRESS_ID_CAD == "C2"
+    assert out.iloc[0].MATCH_SCORE == 100.0  # genitive stripped -> identical
+
+
+def test_candidates_count_includes_empty_street(spark):
+    spr = _reg(spark, [{"ADDRESS_ID": "S1", "STREET_NAME": "ԱԲՈՎՅԱՆ ՄԵԾ", "HOUSE": "5", "BUILDING": ""}])
+    cad = _reg(
+        spark,
+        [
+            {"ADDRESS_ID": "C1", "STREET_NAME": "ԱԲՈՎՅԱՆ ՄԵԾՆ", "HOUSE": "5", "BUILDING": ""},
+            {"ADDRESS_ID": "C2", "STREET_NAME": "", "HOUSE": "5", "BUILDING": ""},  # counted, not scored
+        ],
+    )
+    out = fuzzy_matches(spr, cad).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0].CANDIDATES_COUNT == 2
+    assert out.iloc[0].ADDRESS_ID_CAD == "C1"
+
+
+def test_threshold_rejects(spark):
+    spr = _reg(spark, [{"ADDRESS_ID": "S1", "STREET_NAME": "ԱԱԱԱԱԱ", "HOUSE": "5", "BUILDING": ""}])
+    cad = _reg(spark, [{"ADDRESS_ID": "C1", "STREET_NAME": "ԲԲԲԲԲԲ", "HOUSE": "5", "BUILDING": ""}])
+    out = fuzzy_matches(spr, cad).toPandas()
+    assert len(out) == 0
+
+
+def test_tiebreak_prefers_earlier_strategy_and_smaller_cad_id(spark):
+    # two CAD rows whose streets are both perfect token-reorders -> both
+    # score 100 on token_sort; tie resolves to smaller ADDRESS_ID_CAD
+    spr = _reg(spark, [{"ADDRESS_ID": "S1", "STREET_NAME": "ՄԱՇՏՈՑ ՊՈՂՈՏԱ", "HOUSE": "9", "BUILDING": ""}])
+    cad = _reg(
+        spark,
+        [
+            {"ADDRESS_ID": "C2", "STREET_NAME": "ՊՈՂՈՏԱ ՄԱՇՏՈՑ", "HOUSE": "9", "BUILDING": ""},
+            {"ADDRESS_ID": "C1", "STREET_NAME": "ՊՈՂՈՏԱ ՄԱՇՏՈՑ", "HOUSE": "9", "BUILDING": ""},
+        ],
+    )
+    out = fuzzy_matches(spr, cad).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0].ADDRESS_ID_CAD == "C1"
+    assert out.iloc[0].MATCH_TYPE == "FUZZY_STREET_TOKEN_SORT_RATIO"
+
+
+def test_salting_preserves_join_semantics(spark):
+    # force the hot-key path (threshold 1, every key is hot) and check the
+    # result set is identical to the unsalted plan
+    rows_spr = [
+        {"ADDRESS_ID": f"S{i}", "STREET_NAME": f"ՓՈՂՈՑ{i} ՄԵԾ", "HOUSE": "1", "BUILDING": ""}
+        for i in range(20)
+    ]
+    rows_cad = [
+        {"ADDRESS_ID": f"C{i}", "STREET_NAME": f"ՓՈՂՈՑ{i} ՄԵԾՆ", "HOUSE": "1", "BUILDING": ""}
+        for i in range(20)
+    ]
+    spr, cad = _reg(spark, rows_spr), _reg(spark, rows_cad)
+    hot = fuzzy_matches(spr, cad, scale=ScaleConfig(hot_block_threshold=1, salt_buckets=4)).toPandas()
+    cold = fuzzy_matches(spr, cad, scale=ScaleConfig(hot_block_threshold=10**9)).toPandas()
+    key = ["ADDRESS_ID_SPR", "ADDRESS_ID_CAD", "MATCH_SCORE", "MATCH_TYPE", "CANDIDATES_COUNT"]
+    assert (
+        hot[key].sort_values(key).reset_index(drop=True).equals(
+            cold[key].sort_values(key).reset_index(drop=True)
+        )
+    )
