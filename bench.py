@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling mode: run the fuzzy-scoring job at two parallelism levels
+(local[8] vs local[32] — the sandbox stand-in for N vs 4N executors) via
+subprocesses, compute candidate-pairs-scored/sec and scaling efficiency,
+and write BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _noop(df) -> int:
+    """Force full execution without driver-side materialization."""
+    return df.count()
+
+
+def run_bench(sf_dir: str, cores: int | None) -> dict:
+    from pyspark.sql import functions as F
+
+    from registry_address_matcher_spark.session import get_spark
+    import __spark_entry__ as E
+
+    master = f"local[{cores}]" if cores else None
+    spark = get_spark("ram-spark-bench", master=master)
+    timings: dict[str, float] = {}
+    counters: dict[str, int] = {}
+
+    from registry_address_matcher_spark.operators.exact import (
+        exact_full_matches,
+        exact_key_matches,
+        exclude_matched,
+    )
+    from registry_address_matcher_spark.operators.fuzzy import candidate_pairs, fuzzy_matches
+    from registry_address_matcher_spark.operators.preprocess import preprocess_registry
+    from registry_address_matcher_spark.operators.cluster import connected_components
+
+    spr = preprocess_registry(E._spr(spark, sf_dir)).persist()
+    cad = preprocess_registry(E._cad(spark, sf_dir)).persist()
+    spr.count(), cad.count()  # materialize outside the timers
+
+    t0 = time.time()
+    m1 = exact_full_matches(spr, cad)
+    m2 = exact_key_matches(spr, cad, exclude_pairs=m1.select("ADDRESS_ID_SPR", "ADDRESS_ID_CAD"))
+    exact = m1.unionByName(m2).persist()
+    counters["exact_matches"] = exact.count()
+    timings["exact_phases"] = time.time() - t0
+
+    # throughput stage: score EVERY blocked candidate pair (full probe
+    # side, no exact-phase exclusion) — this is the number the north
+    # rule's pairs-scored/sec criterion measures
+    t0 = time.time()
+    counters["pairs_scored"] = candidate_pairs(spr, cad).count()
+    fuzzy_all = fuzzy_matches(spr, cad)
+    counters["fuzzy_matches_all"] = fuzzy_all.count()
+    timings["fuzzy_scoring"] = time.time() - t0
+
+    # pipeline-faithful fuzzy phase (remainder only) for the e2e number
+    t0 = time.time()
+    remainder = exclude_matched(spr, exact)
+    fuzzy = fuzzy_matches(remainder, cad).persist()
+    counters["fuzzy_matches"] = fuzzy.count()
+    timings["fuzzy_remainder"] = time.time() - t0
+
+    t0 = time.time()
+    matches = exact.unionByName(fuzzy)
+    edges = matches.select(
+        F.concat(F.lit("S:"), F.col("ADDRESS_ID_SPR")).alias("src"),
+        F.concat(F.lit("C:"), F.col("ADDRESS_ID_CAD")).alias("dst"),
+    )
+    counters["cluster_nodes"] = connected_components(edges).count()
+    timings["clustering"] = time.time() - t0
+
+    t0 = time.time()
+    counters["topk_rows"] = _noop(E.q_embedding_topk(spark, sf_dir))
+    timings["embedding_topk"] = time.time() - t0
+
+    t0 = time.time()
+    counters["dedup_groups"] = _noop(E.q_exact_dedup(spark, sf_dir))
+    timings["exact_dedup"] = time.time() - t0
+
+    t0 = time.time()
+    counters["doc_rows"] = _noop(E.q_token_count(spark, sf_dir))
+    timings["token_count"] = time.time() - t0
+
+    total = sum(timings.values())
+    pairs_per_sec = counters["pairs_scored"] / timings["fuzzy_scoring"] if timings["fuzzy_scoring"] else 0.0
+    result = {
+        "metric": "e2e_match_pipeline_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": _sf_of(sf_dir),
+        "counters": counters,
+        "pairs_scored_per_sec": round(pairs_per_sec, 1),
+        "cores": cores or os.cpu_count(),
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling(sf_dir: str, levels=(8, 32)) -> None:
+    """North-rule scaling evidence: identical job, two parallelism levels."""
+    results = {}
+    for n in levels:
+        out = subprocess.run(
+            [sys.executable, __file__, "--cores", str(n), "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results[n] = json.loads(line)
+    lo, hi = levels
+    thr_lo = results[lo]["pairs_scored_per_sec"]
+    thr_hi = results[hi]["pairs_scored_per_sec"]
+    ratio = hi / lo
+    eff = (thr_hi / thr_lo) / ratio if thr_lo else 0.0
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH baseline — scaling evidence (north rule)
+
+Identical fuzzy-scoring job (blocked candidate-pair generation + Arrow
+pandas-UDF 4-scorer kernel + windowed top-1) on identical input
+({sf_dir}, part-derived registries), run at two local parallelism levels
+as the sandbox stand-in for N vs {ratio:.0f}N executors.
+
+| cores | pairs scored | fuzzy stage (s) | pairs/sec | e2e (s) |
+|---|---|---|---|---|
+| {lo} | {results[lo]['counters']['pairs_scored']} | {results[lo]['queries']['fuzzy_scoring']} | {thr_lo} | {results[lo]['value']} |
+| {hi} | {results[hi]['counters']['pairs_scored']} | {results[hi]['queries']['fuzzy_scoring']} | {thr_hi} | {results[hi]['value']} |
+
+**Scaling efficiency ({lo}->{hi} cores): {eff:.3f}** (requirement >= 0.8)
+
+Reference single-thread baseline: ~500 records/sec fuzzy estimate
+(`/root/reference/address.py:1062`).
+
+Stage timings (s):
+
+| stage | {lo} cores | {hi} cores |
+|---|---|---|
+"""
+        )
+        for k in results[lo]["queries"]:
+            f.write(f"| {k} | {results[lo]['queries'][k]} | {results[hi]['queries'][k]} |\n")
+    print(json.dumps({"scaling_efficiency": round(eff, 3), "levels": results}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+    if args.scaling:
+        run_scaling(args.sf_dir)
+        return
+    cores = args.cores
+    if cores is None and os.environ.get("SPARK_GRAFT_CPUS"):
+        cores = int(os.environ["SPARK_GRAFT_CPUS"])
+    result = run_bench(args.sf_dir, cores)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -271,7 +271,7 @@ def _map_lookup_sql(expr: str, mapping: dict[str, str]) -> str:
 
 def normalize_sql(expr: str) -> str:
     """Render the normalizer chain as a DuckDB SQL expression over `expr`."""
-    e = f"upper(trim(coalesce(CAST({expr} AS VARCHAR), '')))"
+    e = f"upper(trim(coalesce(CAST({expr} AS STRING), '')))"
     e = _map_lookup_sql(e, ALIASES)
     for suf in SUFFIXES:
         pat = _sql_quote(_suffix_pattern(suf))
@@ -292,8 +292,10 @@ def search_key_sql(street: str, house: str) -> str:
 
 
 def completeness_sql(street: str, house: str, building: str) -> str:
+    # CAST to DOUBLE: DuckDB would otherwise type int/DECIMAL as DECIMAL,
+    # which value-hashes differently from Spark's double
     return (
-        f"((CASE WHEN {street} IS NOT NULL THEN 1 ELSE 0 END)"
+        f"CAST(((CASE WHEN {street} IS NOT NULL THEN 1 ELSE 0 END)"
         f" + (CASE WHEN {house} IS NOT NULL THEN 1 ELSE 0 END)"
-        f" + (CASE WHEN {building} IS NOT NULL THEN 1 ELSE 0 END)) / 3.0"
+        f" + (CASE WHEN {building} IS NOT NULL THEN 1 ELSE 0 END)) AS DOUBLE) / 3.0"
     )

@@ -41,6 +41,9 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every larger neighbor to the node's minimum. Output may
+    contain duplicates — the following small-star round dedups, saving a
+    shuffle per iteration."""
     b = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     w = Window.partitionBy("src")
     b = b.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
@@ -48,11 +51,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
         b.filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect all smaller neighbors (and the node) to the minimum.
+    Output is already in canonical (src < dst) orientation: emitted pairs
+    are (m, v) with m the group minimum."""
     # orient so src >= dst
     o = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
@@ -60,8 +65,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
     w = Window.partitionBy("src")
     o = o.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
     nbr = o.select("src", "dst", "m")
-    out = nbr.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
-        nbr.select(F.col("src"), F.col("m").alias("dst"))
+    out = nbr.select(F.col("m").alias("src"), F.col("dst")).union(
+        nbr.select(F.col("m").alias("src"), F.col("src").alias("dst"))
     )
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
@@ -85,15 +90,22 @@ def connected_components(
     Isolated nodes (present only as self-edges or absent) are the caller's
     concern — feed every node as a self-edge if singletons must appear.
     """
+    import os
+    import time
+
     scale = scale or ScaleConfig()
+    debug = bool(os.environ.get("RAM_SPARK_DEBUG"))
     cur = _canonical(edges).localCheckpoint()
     prev_fp = None
     for it in range(scale.cc_max_iterations):
+        t0 = time.time()
+        # small_star output is already canonical (src < dst, deduped)
         nxt = _small_star(_large_star(cur))
-        nxt = _canonical(nxt)
         if scale.cc_checkpoint_interval and (it % scale.cc_checkpoint_interval == 0):
             nxt = nxt.localCheckpoint()
         fp = _fingerprint(nxt)
+        if debug:
+            print(f"[cc] iter {it}: {time.time() - t0:.2f}s edges={fp[0]}", flush=True)
         if fp == prev_fp:
             cur = nxt
             break
