@@ -1,0 +1,118 @@
+"""Text-analysis functions for a training-data pipeline, all-native where
+possible (language-ID heuristics and rolling-hash fingerprints stay in
+JVM expressions; nothing here crosses into Python).
+
+* :func:`token_count_col` — whitespace tokens.
+* :func:`bpe_ish_token_count_col` — a BPE-ish regex segmentation count
+  (word pieces / numbers / punctuation runs), the standard pre-tokenizer
+  approximation.
+* :func:`quality_features` — length / punctuation ratio / stopword ratio
+  / digit ratio / mean word length.
+* :func:`lang_id_col` — n-gram/stopword-list heuristic over a small set
+  of languages (expressible as native CASE over stopword-hit counts).
+* :func:`fingerprint_col` — polynomial rolling hash over normalized
+  tokens (shift-invariant document fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny public stopword seed-lists (top function words) per language
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "are"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"),
+    "es": ("el", "la", "de", "que", "los", "en", "por", "con", "para", "una"),
+    "hy": ("եվ", "է", "որ", "այս", "են", "նա", "իր", "մի", "չի", "դա"),
+}
+
+
+def tokens_col(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count_col(col: Column) -> Column:
+    return F.size(tokens_col(col))
+
+
+def bpe_ish_token_count_col(col: Column) -> Column:
+    """Count of BPE-ish pieces: letter runs, digit runs, single punct."""
+    return F.size(
+        F.filter(
+            F.split(F.regexp_replace(col, r"(\p{L}+|\p{N}+|[^\p{L}\p{N}\s])", "$1\x1f"), "\x1f"),
+            lambda t: t != "",
+        )
+    )
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Feature columns for a document-quality score."""
+    length = F.length(col)
+    toks = tokens_col(col)
+    n_tokens = F.size(toks)
+    n_punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    n_digit = F.regexp_count(col, F.lit(r"[0-9]"))
+    words = F.filter(toks, lambda t: t.rlike(r"^\p{L}+$"))
+    mean_word_len = F.when(
+        F.size(words) > 0,
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+        / F.size(words),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": length,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.when(length > 0, n_punct.cast("double") / length).otherwise(0.0),
+        "digit_ratio": F.when(length > 0, n_digit.cast("double") / length).otherwise(0.0),
+        "mean_word_len": mean_word_len,
+    }
+
+
+def quality_score_col(col: Column) -> Column:
+    """Composite heuristic in [0,1]: long enough, not punctuation soup,
+    not digit soup, plausible word lengths."""
+    f = quality_features(col)
+    len_ok = F.least(f["n_chars"].cast("double") / 200.0, F.lit(1.0))
+    punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 4.0)
+    digit_ok = F.greatest(F.lit(0.0), F.lit(1.0) - f["digit_ratio"] * 4.0)
+    wl = f["mean_word_len"]
+    word_ok = F.when((wl >= 2.5) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_ok + punct_ok + digit_ok + word_ok) / 4.0, 6)
+
+
+def stopword_hits_col(col: Column, lang: str) -> Column:
+    """How many of the language's stopwords appear as tokens."""
+    words = STOPWORDS[lang]
+    toks = F.transform(tokens_col(F.lower(col)), lambda t: F.regexp_replace(t, r"[^\p{L}]", ""))
+    return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+
+
+def lang_id_col(col: Column) -> Column:
+    """argmax of stopword hits across languages; 'und' if no hits.
+    Deterministic tie-break: language list order."""
+    hits = [(lang, stopword_hits_col(col, lang)) for lang in STOPWORDS]
+    best = F.greatest(*[h for _, h in hits])
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang, h in hits:
+        expr = expr.when(h == best, F.lit(lang))
+    return expr
+
+
+def fingerprint_col(col: Column, base: int = 1_000_003, mod: int = (1 << 61) - 1) -> Column:
+    """Polynomial rolling hash over normalized tokens: sum(h(tok_i) *
+    base^i) mod m — order-sensitive document fingerprint, all-native via
+    aggregate over a struct accumulator."""
+    toks = tokens_col(F.lower(F.trim(col)))
+    acc0 = F.struct(F.lit(0).cast("decimal(38,0)").alias("h"), F.lit(1).cast("decimal(38,0)").alias("p"))
+    mod_d = F.lit(mod).cast("decimal(38,0)")
+    base_d = F.lit(base).cast("decimal(38,0)")
+    merged = F.aggregate(
+        toks,
+        acc0,
+        lambda acc, t: F.struct(
+            ((acc["h"] + (F.pmod(F.xxhash64(t), F.lit(mod)).cast("decimal(38,0)") * acc["p"]) % mod_d) % mod_d).alias("h"),
+            ((acc["p"] * base_d) % mod_d).alias("p"),
+        ),
+    )
+    return merged["h"].cast("long")

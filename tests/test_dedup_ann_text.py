@@ -1,0 +1,187 @@
+"""Dedup ladder, ANN, and text-analysis operators on the driver testdata."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_exact_dedup(spark, docs):
+    from registry_address_matcher_spark.operators.dedup import exact_dedup
+
+    groups = exact_dedup(docs, "text", "doc_id")
+    total = groups.agg(F.sum("n")).collect()[0][0]
+    assert total == docs.count()
+    assert groups.filter("n < 1").count() == 0
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    from registry_address_matcher_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    rows = []
+    for i in range(30):
+        rows.append({"id": f"a{i:02d}", "text": base + f" tail{i}" })  # near-dups of each other
+    for i in range(30):
+        rng = np.random.RandomState(i)
+        junk = " ".join("tok%05d" % rng.randint(0, 10**5) for _ in range(40))
+        rows.append({"id": f"b{i:02d}", "text": junk})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    sigs = minhash_signatures(df, "id", "text", shingle_n=5, num_perm=64)
+    pairs = minhash_lsh_pairs(sigs, bands=16, threshold=0.7).toPandas()
+    a_pairs = pairs[(pairs.id_l.str.startswith("a")) & (pairs.id_r.str.startswith("a"))]
+    # all a-a pairs are true near-dups; LSH with 16 bands over 64 perms at
+    # jaccard ~0.9 has recall ~1
+    assert len(a_pairs) >= 30 * 29 / 2 * 0.95
+    assert not ((pairs.id_l.str.startswith("b")) & (pairs.id_r.str.startswith("b"))).any()
+    # verified jaccard values agree with the exact all-pairs operator
+    exact = jaccard_pairs(
+        df.withColumn("g", F.lit(1)), "id", "text", ["g"], n=5, threshold=0.7
+    ).toPandas()
+    exact_set = set(zip(exact.id_l, exact.id_r))
+    assert set(zip(a_pairs.id_l, a_pairs.id_r)) <= exact_set
+
+
+def test_simhash_pairs(spark):
+    from registry_address_matcher_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    # simhash needs real token mass: 200 tokens, 2 substitutions apart
+    base_tokens = [f"tok{i:03d}" for i in range(200)]
+    mutated = list(base_tokens)
+    mutated[10], mutated[150] = "changed1", "changed2"
+    rng = np.random.RandomState(1)
+    other = [f"other{rng.randint(0, 10**6):06d}" for _ in range(200)]
+    rows = [
+        {"id": "x1", "text": " ".join(base_tokens)},
+        {"id": "x2", "text": " ".join(mutated)},
+        {"id": "y1", "text": " ".join(other)},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    sigs = simhash_signatures(df, "id", "text")
+    pairs = simhash_pairs(sigs, max_hamming=16).toPandas()
+    found = set(zip(pairs.id_l, pairs.id_r))
+    assert ("x1", "x2") in found
+    assert ("x1", "y1") not in found and ("y1", "x1") not in found
+
+
+def test_embedding_neardup_exact_vs_lsh(spark, emb):
+    from registry_address_matcher_spark.operators.dedup import embedding_neardup_pairs
+
+    exact = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.9, exact=True)
+    lsh = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.9, n_bits=8)
+    e = set(map(tuple, exact.select("id_l", "id_r").toPandas().values))
+    l = set(map(tuple, lsh.select("id_l", "id_r").toPandas().values))
+    assert l <= e  # LSH never invents pairs
+    if e:
+        assert len(l) / len(e) >= 0.5  # and finds a solid share at 8 bits
+
+
+def test_ann_lsh_recall(spark, emb):
+    from registry_address_matcher_spark.operators.ann import topk_bruteforce, topk_lsh
+
+    probes = emb.filter(F.col("vec_id") % 40 == 0)
+    bf = topk_bruteforce(emb, probes, "vec_id", "embedding", k=5).toPandas()
+    # this corpus is diffuse (top-5 cos ~0.3) — the hardest LSH regime;
+    # 8 tables x 4 bits gives theoretical recall ~0.67 here
+    ann = topk_lsh(emb, probes, "vec_id", "embedding", k=5, n_bits=4, n_tables=8).toPandas()
+    bf_set = set(zip(bf.q_id, bf.id))
+    ann_set = set(zip(ann.q_id, ann.id))
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.5, f"ANN recall {recall:.2f}"
+    # approximate results never contain better-than-exact hits
+    merged = ann.merge(bf, on=["q_id", "id"], suffixes=("_ann", "_bf"))
+    assert (merged.cos_ann == merged.cos_bf).all()
+
+
+def test_text_features(spark, docs):
+    from registry_address_matcher_spark.functions.text import (
+        bpe_ish_token_count_col,
+        fingerprint_col,
+        lang_id_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    out = docs.select(
+        "doc_id", "text", "lang",
+        token_count_col(F.col("text")).alias("n_tok"),
+        bpe_ish_token_count_col(F.col("text")).alias("n_bpe"),
+        quality_score_col(F.col("text")).alias("quality"),
+        lang_id_col(F.col("text")).alias("lang_pred"),
+        fingerprint_col(F.col("text")).alias("fp"),
+    ).toPandas()
+    assert (out.n_tok >= 1).all()
+    assert (out.n_bpe >= out.n_tok).all()  # pieces never fewer than words
+    assert out.quality.between(0, 1).all()
+    # fingerprint: deterministic and shift-variant
+    assert out.fp.nunique() > len(out) * 0.9
+
+    # fingerprint stability against an independent recompute
+    out2 = docs.select(fingerprint_col(F.col("text")).alias("fp")).toPandas()
+    assert sorted(out.fp) == sorted(out2.fp)
+
+
+def test_lang_id_on_clear_samples(spark):
+    from registry_address_matcher_spark.functions.text import lang_id_col
+
+    rows = [
+        {"t": "the cat and the dog are in the house that is for sale"},
+        {"t": "der Hund und die Katze ist nicht mit dem Mann von hier"},
+        {"t": "le chat et les chiens est dans la maison pour une fois"},
+        {"t": "xyzzy plugh qwop"},
+    ]
+    out = spark.createDataFrame(pd.DataFrame(rows)).select(
+        "t", lang_id_col(F.col("t")).alias("lang")
+    ).toPandas()
+    assert list(out.lang) == ["en", "de", "fr", "und"]
+
+
+def test_multimodal_plumbing(spark):
+    from registry_address_matcher_spark.operators.multimodal import (
+        decode_images,
+        media_metadata_stats,
+        sample_video_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30).persist()
+    feats = decode_images(media.filter("kind = 'image'")).toPandas()
+    assert len(feats) == 10
+    assert all(len(f) == 32 for f in feats.feature)
+    assert feats.width.between(64, 320).all()
+
+    frames = sample_video_frames(media.filter("kind = 'video'"), every_n=2).toPandas()
+    assert len(frames) > 0
+    assert frames.frame_idx.min() == 0
+
+    # column pruning applies at FILE scans: round-trip through parquet and
+    # assert the metadata query never reads the payload bytes
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        media.write.mode("overwrite").parquet(f"{d}/media")
+        on_disk = spark.read.parquet(f"{d}/media")
+        stats = media_metadata_stats(on_disk)
+        plan = stats._jdf.queryExecution().executedPlan().toString()
+        scan_line = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scan_line and "payload" not in scan_line[0]
+        assert stats.count() == 3
