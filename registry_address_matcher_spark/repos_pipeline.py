@@ -1,0 +1,192 @@
+"""North-rule pipeline: record linkage over a source-code repository table
+``(repo, path, commit, lang, content)`` at 10^12-file design scale.
+
+Re-realizes the reference's blocking -> pairwise-scoring -> (new)
+transitive-clustering flow on the repos domain:
+
+| reference concept                  | repos realization                     |
+|------------------------------------|----------------------------------------|
+| STREET/HOUSE/BUILDING normalize    | content whitespace-normalization + path-stem tokenization |
+| FULL_ADDRESS exact phase (J1)      | sha256(content_norm) equality          |
+| SEARCH_KEY blocking (J2/J4)        | (lang, MinHash band bucket) keys, salted |
+| rapidfuzz street scoring (J5)      | batched Jaro-Winkler on path stems + shingle-Jaccard on content |
+| one-best-match                     | pairwise edges -> large-star/small-star components |
+
+Stages are checkpointed through :mod:`.plans.resume`; per-block lineage
+and run metrics land in sidecar tables; the per-row ``sha256(content)``
+invariant column rides through every stage untouched and is verified at
+the end (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .config import ScaleConfig
+from .functions.similarity import jaro_winkler_udf
+from .operators.blocking import salted_join
+from .operators.cluster import connected_components
+from .operators.dedup import jaccard_col, minhash_signatures
+
+
+@dataclass(frozen=True)
+class ReposMatchConfig:
+    shingle_n: int = 7
+    num_perm: int = 64
+    bands: int = 16
+    # blended acceptance: w_content * shingle-jaccard + w_path * path-stem JW
+    w_content: float = 0.8
+    w_path: float = 0.2
+    threshold: float = 0.7
+    seed: int = 42
+
+
+def normalize_repos(df: DataFrame) -> DataFrame:
+    """Derive the match-relevant columns; keep the invariant sha256.
+
+    content_sha is over the RAW content (the invariant); matching uses
+    content_norm (whitespace-collapsed) so formatting churn doesn't split
+    clusters — mirroring the reference's normalize-before-match.
+    """
+    stem = F.regexp_replace(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"\.[^.]*$", ""
+    )
+    return df.select(
+        F.col("commit").alias("file_id"),
+        "repo",
+        "path",
+        "lang",
+        "content",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        F.trim(F.regexp_replace(F.col("content"), r"\s+", " ")).alias("content_norm"),
+        stem.alias("path_stem"),
+        F.soundex(stem).alias("stem_soundex"),
+    )
+
+
+def exact_content_pairs(norm: DataFrame) -> DataFrame:
+    """EXACT_FULL analogue: identical normalized content. Grouped by hash
+    (one shuffle), pairs emitted star-shaped against the group minimum —
+    O(group) edges instead of O(group^2), which is all connected
+    components needs for correctness."""
+    h = norm.select(
+        "file_id", F.sha2("content_norm", 256).alias("h")
+    )
+    w = Window.partitionBy("h")
+    stars = h.withColumn("rep", F.min("file_id").over(w)).filter(
+        F.col("file_id") != F.col("rep")
+    )
+    return stars.select(
+        F.col("rep").alias("id_l"),
+        F.col("file_id").alias("id_r"),
+        F.lit(1.0).alias("score"),
+        F.lit("EXACT_CONTENT").alias("match_type"),
+    )
+
+
+def candidate_block_pairs(
+    norm: DataFrame, cfg: ReposMatchConfig, scale: ScaleConfig | None = None
+) -> DataFrame:
+    """Blocking: (lang, MinHash band bucket) — skew-salted equi-self-join.
+
+    ``lang`` rides along as an explicit block key: it is the deliberately
+    skewed column (half the corpus is one language), so the salting path
+    is exercised on every real run.
+    """
+    scale = scale or ScaleConfig()
+    sigs = minhash_signatures(
+        norm.select(F.col("file_id").alias("id"), "lang", "content_norm"),
+        "id",
+        "content_norm",
+        shingle_n=cfg.shingle_n,
+        num_perm=cfg.num_perm,
+        seed=cfg.seed,
+    ).join(norm.select(F.col("file_id").alias("id"), "lang"), "id")
+    r = cfg.num_perm // cfg.bands
+    banded = sigs.select(
+        "id", "lang", "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * r + 1, r),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    probe = banded.select(
+        "lang", "band", "bucket",
+        F.col("id").alias("id_l"), F.col("shingles").alias("sh_l"),
+    )
+    build = banded.select(
+        "lang", "band", "bucket",
+        F.col("id").alias("id_r"), F.col("shingles").alias("sh_r"),
+    )
+    pairs = salted_join(probe, build, ["lang", "band", "bucket"], scale)
+    return (
+        pairs.filter(F.col("id_l") < F.col("id_r"))
+        .select("lang", "id_l", "id_r", "sh_l", "sh_r")
+        .dropDuplicates(["id_l", "id_r"])
+    )
+
+
+def score_pairs(pairs: DataFrame, norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
+    """Pairwise scoring: native shingle-Jaccard (token-set similarity) +
+    one Arrow pass of Jaro-Winkler on path stems. Returns scored pairs
+    with block context for lineage."""
+    stems = norm.select(F.col("file_id"), F.col("path_stem"))
+    p = (
+        pairs.join(stems.withColumnRenamed("file_id", "id_l").withColumnRenamed("path_stem", "stem_l"), "id_l")
+        .join(stems.withColumnRenamed("file_id", "id_r").withColumnRenamed("path_stem", "stem_r"), "id_r")
+    )
+    p = p.withColumn("jaccard", jaccard_col(F.col("sh_l"), F.col("sh_r")))
+    p = p.withColumn("jw", jaro_winkler_udf(F.col("stem_l"), F.col("stem_r")))
+    p = p.withColumn(
+        "score",
+        F.round(cfg.w_content * F.col("jaccard") + cfg.w_path * F.col("jw"), 6),
+    )
+    return p.select("lang", "id_l", "id_r", "jaccard", "jw", "score")
+
+
+def accepted_pairs(scored: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
+    return scored.filter(F.col("score") >= cfg.threshold).select(
+        "id_l", "id_r", "score", F.lit("FUZZY_MINHASH").alias("match_type")
+    )
+
+
+def cluster_pairs(all_pairs: DataFrame, norm: DataFrame, scale: ScaleConfig | None = None) -> DataFrame:
+    """Transitive closure over accepted + exact pairs; singleton files get
+    their own component. Returns (file_id, component, content_sha) — the
+    sha rides through for the end-to-end invariant check."""
+    edges = all_pairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
+    comp = connected_components(edges, scale)
+    files = norm.select(F.col("file_id"), "content_sha")
+    joined = files.join(comp.withColumnRenamed("node", "file_id"), "file_id", "left")
+    return joined.select(
+        "file_id",
+        F.coalesce(F.col("component"), F.col("file_id")).alias("component"),
+        "content_sha",
+    )
+
+
+def verify_sha_invariant(input_df: DataFrame, output_df: DataFrame) -> bool:
+    """Per-row sha256(content) equality between pipeline input and output."""
+    lhs = input_df.select(
+        F.col("commit").alias("file_id"), F.sha2("content", 256).alias("sha_in")
+    )
+    rhs = output_df.select("file_id", F.col("content_sha").alias("sha_out"))
+    bad = lhs.join(rhs, "file_id", "full").filter(
+        (F.col("sha_in").isNull())
+        | (F.col("sha_out").isNull())
+        | (F.col("sha_in") != F.col("sha_out"))
+    )
+    return bad.limit(1).count() == 0

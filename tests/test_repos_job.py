@@ -1,0 +1,114 @@
+"""North-rule repos pipeline: F1 on labeled pairs, sha invariant, resume."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def repos_fixture(spark):
+    from registry_address_matcher_spark.synth import make_repos
+
+    return make_repos(spark, n_base=120, dups_per_base=2, seed=42)
+
+
+def _run_pipeline(spark, repos):
+    from registry_address_matcher_spark.config import ScaleConfig
+    from registry_address_matcher_spark.repos_pipeline import (
+        ReposMatchConfig,
+        accepted_pairs,
+        candidate_block_pairs,
+        cluster_pairs,
+        exact_content_pairs,
+        normalize_repos,
+        score_pairs,
+    )
+
+    cfg = ReposMatchConfig()
+    norm = normalize_repos(repos).persist()
+    exact = exact_content_pairs(norm)
+    cand = candidate_block_pairs(norm, cfg, ScaleConfig(hot_block_threshold=50, salt_buckets=4))
+    scored = score_pairs(cand, norm, cfg)
+    acc = accepted_pairs(scored, cfg)
+    pairs = acc.unionByName(
+        exact.select("id_l", "id_r", "score", "match_type")
+    ).dropDuplicates(["id_l", "id_r"])
+    clusters = cluster_pairs(pairs, norm)
+    return norm, pairs, clusters
+
+
+def test_repos_pairwise_f1(spark, repos_fixture):
+    repos, labels = repos_fixture
+    norm, pairs, clusters = _run_pipeline(spark, repos)
+
+    # transitive closure of predictions: two files match iff same component
+    comp = clusters.select("file_id", "component")
+    lab = labels.toPandas()
+    cp = comp.toPandas().set_index("file_id")["component"]
+    tp = fn = fp = 0
+    for _, row in lab.iterrows():
+        same = cp.get(row.left_id) == cp.get(row.right_id)
+        if row.is_match and same:
+            tp += 1
+        elif row.is_match:
+            fn += 1
+        elif same:
+            fp += 1
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, f"repos F1={f1:.4f} (P={precision:.4f} R={recall:.4f} tp={tp} fn={fn} fp={fp})"
+
+
+def test_sha_invariant(spark, repos_fixture):
+    from registry_address_matcher_spark.repos_pipeline import verify_sha_invariant
+
+    repos, _ = repos_fixture
+    _, _, clusters = _run_pipeline(spark, repos)
+    assert verify_sha_invariant(repos, clusters)
+
+
+def test_job_cli_with_resume(spark, tmp_path):
+    """Run the CLI twice on the same run dir: second run must reuse every
+    stage snapshot (resume), produce identical clusters, and pass the
+    invariant."""
+    import jobs.match_job as job
+
+    run_dir = str(tmp_path / "run1")
+    rc = job.main(["--synth", "60", "--run-dir", run_dir, "--resume"])
+    assert rc == 0
+    manifest = json.load(open(os.path.join(run_dir, "run.json")))
+    assert set(manifest["stages"]) >= {"normalize", "exact", "blocking", "scoring", "accepted", "clustering"}
+    snaps_before = {
+        s: manifest["stages"][s]["snapshot"] for s in manifest["stages"]
+    }
+
+    rc2 = job.main(["--synth", "60", "--run-dir", run_dir, "--resume"])
+    assert rc2 == 0
+    manifest2 = json.load(open(os.path.join(run_dir, "run.json")))
+    snaps_after = {
+        s: manifest2["stages"][s]["snapshot"] for s in manifest2["stages"]
+    }
+    # resume: no stage recomputed -> same snapshot ids
+    assert snaps_before == snaps_after
+
+
+def test_stage_resume_skips_builder(spark, tmp_path):
+    from registry_address_matcher_spark.plans.resume import run_stage
+
+    calls = {"n": 0}
+
+    def builder():
+        calls["n"] += 1
+        return spark.range(5).withColumnRenamed("id", "x")
+
+    d = str(tmp_path / "r")
+    a = run_stage(spark, d, "s1", builder)
+    assert calls["n"] == 1 and a.count() == 5
+    b = run_stage(spark, d, "s1", builder)
+    assert calls["n"] == 1  # not re-invoked
+    assert b.count() == 5
+    c = run_stage(spark, d, "s1", builder, force=True)
+    assert calls["n"] == 2 and c.count() == 5

@@ -1,0 +1,160 @@
+"""Streaming operators (file source -> memory sink, AvailableNow) and the
+quality/lineage plan suite."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_stream(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "dedup" else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    from registry_address_matcher_spark.streaming.events import windowed_event_counts
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = _run_stream(spark, windowed_event_counts(stream), "wincounts")
+
+    batch = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    got = out.select("window_start", "event_type", "n").toPandas()
+    want = batch.toPandas()
+    key = ["window_start", "event_type", "n"]
+    assert (
+        got[key].sort_values(key).reset_index(drop=True).equals(
+            want[key].sort_values(key).reset_index(drop=True)
+        )
+    )
+
+
+def test_stream_dedup(spark, tmp_path):
+    from registry_address_matcher_spark.streaming.events import stream_dedup
+
+    events = spark.read.parquet(f"{SF}/events.parquet").limit(500)
+    dup = events.union(events)  # every event twice
+    src = str(tmp_path / "dup_src")
+    dup.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = _run_stream(spark, stream_dedup(stream), "dedup")
+    assert out.count() == events.count()
+
+
+def test_streaming_match_counts(spark, tmp_path):
+    from registry_address_matcher_spark.streaming.events import streaming_match_counts
+    from registry_address_matcher_spark.synth import make_registry_pair
+
+    spr, cad, _ = make_registry_pair(spark, n_base=50, seed=3)
+    src = str(tmp_path / "spr_src")
+    spr.write.parquet(src)
+    stream = spark.readStream.schema(spr.schema).parquet(src)
+    matched = streaming_match_counts(stream, cad)
+    q = (
+        matched.writeStream.format("memory")
+        .queryName("stream_matches")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("stream_matches").count()
+
+    # batch equivalent
+    from registry_address_matcher_spark.operators.preprocess import preprocess_registry
+
+    b_spr = preprocess_registry(spr)
+    b_cad = preprocess_registry(cad).select(F.col("ADDRESS_ID").alias("c"), "FULL_ADDRESS")
+    want = b_spr.join(b_cad, "FULL_ADDRESS").count()
+    assert got == want
+
+
+def test_quality_suite(spark, registry_fixture):
+    from registry_address_matcher_spark.operators.preprocess import preprocess_registry
+    from registry_address_matcher_spark.pipeline import run_match_pipeline
+    from registry_address_matcher_spark.plans.quality import (
+        completeness_correlation,
+        hourly_counts,
+        match_quality,
+        match_type_counts,
+        registry_quality,
+        score_histogram,
+        to_metrics_rows,
+    )
+
+    spr, cad, _ = registry_fixture
+    res = run_match_pipeline(spr, cad, with_clusters=False)
+    rq = registry_quality(preprocess_registry(spr)).collect()[0]
+    assert rq["total_records"] == spr.count()
+    assert 0 <= rq["avg_completeness"] <= 1
+
+    mq = match_quality(res.matches).collect()[0]
+    assert mq["score_min"] >= 85.0 and mq["score_max"] <= 100.0
+    assert mq["n_95_plus"] + mq["n_85_94"] + mq["n_75_84"] + mq["n_below_75"] == mq["total_matches"]
+
+    tc = match_type_counts(res.matches).toPandas()
+    assert tc.n.sum() == mq["total_matches"]
+
+    hist = score_histogram(res.matches).toPandas()
+    assert hist.n.sum() == mq["total_matches"]
+    assert hist.bucket.between(17, 20).all()  # scores 85..100
+
+    hours = hourly_counts(res.matches).toPandas()
+    assert hours.n.sum() == mq["total_matches"]
+
+    corr = completeness_correlation(res.matches).collect()[0][0]
+    assert corr is None or -1.0 <= corr <= 1.0
+
+    rows = to_metrics_rows(match_quality(res.matches), "r1", "match").toPandas()
+    assert set(rows.columns) == {"run_id", "stage", "key", "value", "recorded_at"}
+    assert len(rows) == 11
+
+
+def test_block_lineage(spark, registry_fixture):
+    from registry_address_matcher_spark.operators.fuzzy import candidate_pairs
+    from registry_address_matcher_spark.operators.preprocess import preprocess_registry
+    from registry_address_matcher_spark.plans.lineage import block_lineage
+
+    spr, cad, _ = registry_fixture
+    p_spr, p_cad = preprocess_registry(spr), preprocess_registry(cad)
+    pairs = candidate_pairs(p_spr, p_cad).withColumn(
+        "score", F.lit(90.0)
+    )
+    lin = block_lineage(pairs, ["HOUSE_NORM", "BUILDING_NORM"], "score", "r1", "scoring")
+    pdf = lin.toPandas()
+    assert pdf.candidate_pair_count.sum() == pairs.count()
+    assert all(len(h) == 20 for h in pdf.score_histogram)
+    # every pair scored 90 -> bucket 18 holds everything
+    assert all(h[18] == c for h, c in zip(pdf.score_histogram, pdf.candidate_pair_count))
+
+
+def test_snapshot_catalog(spark, tmp_path):
+    from registry_address_matcher_spark.sources.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    df1 = spark.range(10).withColumnRenamed("id", "x")
+    s1 = cat.append_snapshot(df1, "t")
+    df2 = spark.range(20).withColumnRenamed("id", "x")
+    s2 = cat.append_snapshot(df2, "t")
+    assert cat.load("t").count() == 20            # current
+    assert cat.load("t", s1).count() == 10        # time travel
+    snaps = cat.snapshots("t")
+    assert [s["id"] for s in snaps] == [s1, s2]
+    assert snaps[1]["parent"] == s1
