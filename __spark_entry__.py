@@ -347,6 +347,192 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_registry_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A5 — registry quality aggregates (SURVEY §2.4)."""
+    from registry_address_matcher_spark.plans.quality import registry_quality
+
+    out = registry_quality(preprocess_registry(_spr(spark, sf_dir)))
+    return out.select(
+        "total_records",
+        F.round("street_completeness", 6).alias("street_completeness"),
+        F.round("house_completeness", 6).alias("house_completeness"),
+        F.round("building_completeness", 6).alias("building_completeness"),
+        "unique_streets",
+        F.round("avg_completeness", 6).alias("avg_completeness"),
+        "duplicates",
+    )
+
+
+def q_house_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — optional house-variant decode rule over zero-padded sizes."""
+    from registry_address_matcher_spark.functions.normalize import house_decode_col
+
+    part = _load(spark, sf_dir, "part")
+    padded = F.lpad(F.col("p_size").cast("string"), 2, "0")
+    return part.select(
+        F.col("p_partkey").alias("id"),
+        padded.alias("raw_house"),
+        house_decode_col(padded).alias("house_decoded"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup — exact char-3-gram Jaccard for (lang, n_chars)-blocked doc
+    pairs (SURVEY training-data ops)."""
+    from registry_address_matcher_spark.operators.dedup import jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", ["lang", "n_chars"], n=3, threshold=0.3)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — token counts + punctuation/digit ratios."""
+    from registry_address_matcher_spark.functions.text import (
+        bpe_ish_token_count_col,
+        token_count_col,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    length = F.length("text")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count_col(F.col("text")).alias("n_pieces"),
+        F.round(F.regexp_count("text", F.lit(r"[^\w\s]")).cast("double") / F.greatest(length, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(F.regexp_count("text", F.lit(r"[0-9]")).cast("double") / F.greatest(length, F.lit(1)), 6).alias("digit_ratio"),
+    )
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — stopword-heuristic language ID distribution."""
+    from registry_address_matcher_spark.functions.text import lang_id_col
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.groupBy(lang_id_col(F.col("text")).alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped windowed agg run in batch: 1h tumbling windows
+    per event_type (same plan the streaming path produces)."""
+    ev = _load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "event_type", "n", "value_sum")
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup — exact cosine near-duplicate pairs (threshold 0.5)."""
+    from registry_address_matcher_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.5, exact=True)
+
+
+def q_substr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — case-insensitive substring filter OR'd across two columns."""
+    part = _load(spark, sf_dir, "part")
+    return part.filter(
+        F.lower(F.col("p_name")).contains("red") | F.lower(F.col("p_type")).contains("brass")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — pagination: deterministic order + offset/limit."""
+    part = _load(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_name")
+        .orderBy(F.col("p_partkey").asc())
+        .offset(100)
+        .limit(50)
+    )
+
+
+# ---- rows-only entries (no SQL oracle: hash-seeded or UDF-kernel paths) ----
+
+def q_fuzzy_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — the real 4-scorer fuzzy phase over the derived registries
+    (kernels oracle-checked in pytest vs DuckDB JW / DP-LCS)."""
+    from registry_address_matcher_spark.operators.fuzzy import fuzzy_matches
+
+    spr = preprocess_registry(_spr(spark, sf_dir))
+    cad = preprocess_registry(_cad(spark, sf_dir))
+    m = fuzzy_matches(spr, cad)
+    return m.select(
+        "ADDRESS_ID_SPR", "ADDRESS_ID_CAD",
+        F.round("MATCH_SCORE", 4).alias("MATCH_SCORE"),
+        "MATCH_TYPE", "CANDIDATES_COUNT",
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup — MinHash+LSH near-dup pairs on documents (rows-only:
+    depends on xxhash64 seeds; verified Jaccard values are exact)."""
+    from registry_address_matcher_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", shingle_n=5, num_perm=64)
+    return minhash_lsh_pairs(sigs, bands=16, threshold=0.5)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup — SimHash near-dup pairs (rows-only)."""
+    from registry_address_matcher_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_pairs(simhash_signatures(docs, "doc_id", "text"), max_hamming=8)
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN — multi-table LSH top-k (rows-only; exact baseline is the
+    oracle-checked embedding_topk)."""
+    from registry_address_matcher_spark.operators.ann import topk_lsh
+
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 200 == 0)
+    return topk_lsh(emb, probes, "vec_id", "embedding", k=10, n_bits=4, n_tables=8)
+
+
+def q_repos_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule pipeline end-to-end over a repos-shaped derivation of
+    documents (rows-only; pairwise F1 + sha invariant gated in pytest)."""
+    from registry_address_matcher_spark.repos_pipeline import (
+        ReposMatchConfig,
+        accepted_pairs,
+        candidate_block_pairs,
+        cluster_pairs,
+        exact_content_pairs,
+        normalize_repos,
+        score_pairs,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    repos = docs.select(
+        F.concat(F.lit("org/"), F.col("source")).alias("repo"),
+        F.concat(F.lit("docs/d"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.sha2(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")), 256).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    cfg = ReposMatchConfig(threshold=0.6)
+    norm = normalize_repos(repos)
+    exact = exact_content_pairs(norm)
+    scored = score_pairs(candidate_block_pairs(norm, cfg), norm, cfg)
+    pairs = accepted_pairs(scored, cfg).unionByName(
+        exact.select("id_l", "id_r", "score", "match_type")
+    ).dropDuplicates(["id_l", "id_r"])
+    return cluster_pairs(pairs, norm)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full exact+key match over the part-derived registries at
     sf0.001, match-type distribution."""
@@ -375,6 +561,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "embedding_topk": q_embedding_topk,
         "connected_components": q_connected_components,
+        "registry_quality": q_registry_quality,
+        "house_decode": q_house_decode,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "lang_id_counts": q_lang_id_counts,
+        "events_windowed": q_events_windowed,
+        "embedding_neardup": q_embedding_neardup,
+        "substr_filter": q_substr_filter,
+        "pagination": q_pagination,
+        # rows-only (no SQL oracle — hash-seeded / Python-kernel paths;
+        # their kernels are oracle-checked in pytest instead)
+        "fuzzy_top1": q_fuzzy_top1,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_neardup": q_simhash_neardup,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "repos_match": q_repos_match,
     }
 
 
@@ -523,6 +725,86 @@ ranked AS (
   FROM pairs
 )
 SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+"""
+    from registry_address_matcher_spark.functions.normalize import HOUSE_VARIATIONS
+    from registry_address_matcher_spark.functions.text import STOPWORDS
+
+    sqls["registry_quality"] = f"""
+SELECT CAST(count(*) AS DOUBLE) AS total_records,
+       round(avg(CASE WHEN STREET_NAME IS NOT NULL THEN 1 ELSE 0 END), 6) AS street_completeness,
+       round(avg(CASE WHEN HOUSE IS NOT NULL THEN 1 ELSE 0 END), 6) AS house_completeness,
+       round(avg(CASE WHEN BUILDING IS NOT NULL THEN 1 ELSE 0 END), 6) AS building_completeness,
+       CAST(count(DISTINCT STREET_NORM) AS DOUBLE) AS unique_streets,
+       round(avg(COMPLETENESS_SCORE), 6) AS avg_completeness,
+       CAST(count(*) - count(DISTINCT FULL_ADDRESS) AS DOUBLE) AS duplicates
+FROM ({_NORM_SPR})
+"""
+    decode_whens = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in HOUSE_VARIATIONS.items()
+    )
+    sqls["house_decode"] = f"""
+SELECT p_partkey AS id,
+       lpad(CAST(p_size AS STRING), 2, '0') AS raw_house,
+       (CASE lpad(CAST(p_size AS STRING), 2, '0') {decode_whens}
+        ELSE lpad(CAST(p_size AS STRING), 2, '0') END) AS house_decoded
+FROM part
+"""
+    sqls["ngram_jaccard"] = r"""
+WITH sh AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct([substr(text, i, 3) for i in generate_series(1, greatest(len(text) - 2, 0))]) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+       round(CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 1.0
+             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) END, 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+WHERE (CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 1.0
+       ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) END) >= 0.3
+"""
+    sqls["text_stats"] = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '(\p{L}+|\p{N}+|[^\p{L}\p{N}\s])')) AS n_pieces,
+       round(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+       round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1), 6) AS digit_ratio
+FROM documents
+"""
+    hit_exprs = {}
+    for lang, words in STOPWORDS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        hit_exprs[lang] = (
+            "len(list_intersect(list_distinct(list_transform("
+            r"string_split_regex(lower(trim(text)), '\s+'), "
+            r"x -> regexp_replace(x, '[^\p{L}]', '', 'g'))), " + f"[{wl}]))"
+        )
+    best = "greatest(" + ", ".join(hit_exprs.values()) + ")"
+    argmax = f"CASE WHEN {best} <= 0 THEN 'und' " + " ".join(
+        f"WHEN {expr} = {best} THEN '{lang}'" for lang, expr in hit_exprs.items()
+    ) + " END"
+    sqls["lang_id_counts"] = f"""
+SELECT ({argmax}) AS lang_pred, count(*) AS n FROM documents GROUP BY 1
+"""
+    sqls["events_windowed"] = """
+SELECT CAST(date_trunc('hour', ts) AS STRING) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+    sqls["embedding_neardup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.5
+"""
+    sqls["substr_filter"] = """
+SELECT p_partkey, p_name, p_type FROM part
+WHERE lower(p_name) LIKE '%red%' OR lower(p_type) LIKE '%brass%'
+"""
+    sqls["pagination"] = """
+SELECT p_partkey, p_name FROM part ORDER BY p_partkey ASC LIMIT 50 OFFSET 100
 """
     sqls["connected_components"] = """
 WITH RECURSIVE

@@ -37,14 +37,13 @@ def token_count_col(col: Column) -> Column:
     return F.size(tokens_col(col))
 
 
+#: BPE-ish pre-tokenizer pattern: letter runs | digit runs | single punct
+BPE_PATTERN = r"(\p{L}+|\p{N}+|[^\p{L}\p{N}\s])"
+
+
 def bpe_ish_token_count_col(col: Column) -> Column:
     """Count of BPE-ish pieces: letter runs, digit runs, single punct."""
-    return F.size(
-        F.filter(
-            F.split(F.regexp_replace(col, r"(\p{L}+|\p{N}+|[^\p{L}\p{N}\s])", "$1\x1f"), "\x1f"),
-            lambda t: t != "",
-        )
-    )
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(1)))
 
 
 def quality_features(col: Column) -> dict[str, Column]:

@@ -55,14 +55,16 @@ def candidate_pairs(
     return salted_join(probe, build, keys, scale)
 
 
-def fuzzy_matches(
+def score_candidates(
     spr: DataFrame,
     cad: DataFrame,
-    cfg: MatchConfig | None = None,
     scale: ScaleConfig | None = None,
 ) -> DataFrame:
-    """J4+J5 end-to-end: candidates -> batched scores -> top-1 -> threshold."""
-    cfg = cfg or MatchConfig()
+    """J4 + the scoring half of J5: blocked candidate pairs with all four
+    scores and the per-pair best (score, strategy, rank) attached.
+
+    Shared by fuzzy_matches / fuzzy_topk / the bench scaling job so the
+    block join is planned exactly once per caller."""
     pairs = candidate_pairs(spr, cad, scale)
 
     # CANDIDATES_COUNT counts ALL house+building candidates per SPR row,
@@ -72,16 +74,54 @@ def fuzzy_matches(
     pairs = pairs.withColumn("CANDIDATES_COUNT", F.count(F.lit(1)).over(w_cnt))
 
     # scoring set: drop empty streets on both sides (:365-372, :377-378)
-    scored = pairs.filter(
+    to_score = pairs.filter(
         (F.col("STREET_NORM_SPR") != "") & (F.col("STREET_NORM_CAD") != "")
-    ).withColumn("scores", fuzzy_scores(F.col("STREET_NORM_SPR"), F.col("STREET_NORM_CAD")))
+    )
+    # explicit repartition before the Arrow kernel: AQE sizes partitions by
+    # COMPRESSED shuffle bytes, and candidate pairs compress extremely well
+    # (repeated block strings) — left alone, the CPU-bound Python stage
+    # collapses onto 1-2 partitions and runs serially. A user-specified
+    # partition count is exempt from AQE coalescing.
+    sc = spr.sparkSession.sparkContext
+    n_part = max(sc.defaultParallelism * 2, 8)
+    to_score = to_score.repartition(n_part, "ADDRESS_ID_SPR")
+    # identical streets short-circuit JVM-side: all four scorers are 100
+    # by definition, so those rows never cross the Arrow boundary (a CASE
+    # over the UDF would still evaluate it for every row — ArrowEvalPython
+    # is a whole-plan node — hence the explicit split+union)
+    eq = F.col("STREET_NORM_SPR") == F.col("STREET_NORM_CAD")
+    hundred = F.lit(100.0)
+    eq_scored = to_score.filter(eq).withColumn(
+        "scores",
+        F.struct(
+            hundred.alias("token_sort_ratio"),
+            hundred.alias("token_set_ratio"),
+            hundred.alias("partial_ratio"),
+            hundred.alias("ratio"),
+        ),
+    )
+    ne_scored = to_score.filter(~eq).withColumn(
+        "scores", fuzzy_scores(F.col("STREET_NORM_SPR"), F.col("STREET_NORM_CAD"))
+    )
+    scored = eq_scored.unionByName(ne_scored)
 
     best_score, best_strategy, strategy_rank = best_of_strategies("scores")
-    scored = (
+    return (
         scored.withColumn("best_score", best_score)
         .withColumn("best_strategy", best_strategy)
         .withColumn("strategy_rank", strategy_rank)
     )
+
+
+def fuzzy_matches(
+    spr: DataFrame,
+    cad: DataFrame,
+    cfg: MatchConfig | None = None,
+    scale: ScaleConfig | None = None,
+) -> DataFrame:
+    """J4+J5 end-to-end: candidates -> batched scores -> top-1 -> threshold."""
+    cfg = cfg or MatchConfig()
+    scored = score_candidates(spr, cad, scale)
 
     # deterministic top-1 per SPR row: the reference's strict-`>` strategy
     # precedence + first-candidate tie-break, encoded as an explicit order
@@ -115,18 +155,8 @@ def fuzzy_topk(
     """T3 variant (engine.py:204-206): per-probe top-k candidates above
     threshold, deterministic order."""
     cfg = cfg or MatchConfig()
-    pairs = candidate_pairs(spr, cad, scale)
-    w_cnt = Window.partitionBy("ADDRESS_ID_SPR")
-    pairs = pairs.withColumn("CANDIDATES_COUNT", F.count(F.lit(1)).over(w_cnt))
-    scored = pairs.filter(
-        (F.col("STREET_NORM_SPR") != "") & (F.col("STREET_NORM_CAD") != "")
-    ).withColumn("scores", fuzzy_scores(F.col("STREET_NORM_SPR"), F.col("STREET_NORM_CAD")))
-    best_score, best_strategy, strategy_rank = best_of_strategies("scores")
-    scored = (
-        scored.withColumn("best_score", best_score)
-        .withColumn("best_strategy", best_strategy)
-        .withColumn("strategy_rank", strategy_rank)
-        .filter(F.col("best_score") >= F.lit(cfg.fuzzy_threshold))
+    scored = score_candidates(spr, cad, scale).filter(
+        F.col("best_score") >= F.lit(cfg.fuzzy_threshold)
     )
     w_top = Window.partitionBy("ADDRESS_ID_SPR").orderBy(
         F.col("best_score").desc(),

@@ -1,0 +1,70 @@
+"""Physical-plan audits: the properties that matter at 100 TB.
+
+These assert on `.explain` output, not results: filters reach the parquet
+scan, projections prune columns, normalization stays JVM-side, the only
+Python in the fuzzy plan is the single Arrow kernel, and small build
+sides broadcast.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" not in read_schema  # pruned
+    assert "WholeStageCodegen" in plan
+
+
+def test_normalize_is_fully_native(spark):
+    from registry_address_matcher_spark.operators.preprocess import preprocess_registry
+    import __spark_entry__ as E
+
+    out = preprocess_registry(E._cad(spark, SF))
+    plan = _plan(out)
+    # no Python evaluation nodes anywhere in the normalization chain
+    assert "EvalPython" not in plan and "BatchEval" not in plan
+    assert "WholeStageCodegen" in plan
+
+
+def test_fuzzy_plan_has_single_arrow_stage(spark):
+    from registry_address_matcher_spark.operators.fuzzy import fuzzy_matches
+    from registry_address_matcher_spark.operators.preprocess import preprocess_registry
+    import __spark_entry__ as E
+
+    spr = preprocess_registry(E._spr(spark, SF))
+    cad = preprocess_registry(E._cad(spark, SF))
+    plan = _plan(fuzzy_matches(spr, cad))
+    # exactly one Arrow python stage: the 4-scorer kernel
+    assert plan.count("ArrowEvalPython") == 1
+    # blocking is an equi-join, not a cartesian product
+    assert "CartesianProduct" not in plan
+
+
+def test_small_dim_broadcasts(spark):
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    q = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_exact_join_is_hash_based_not_nested_loop(spark):
+    from registry_address_matcher_spark.operators.exact import exact_full_matches
+    from registry_address_matcher_spark.operators.preprocess import preprocess_registry
+    import __spark_entry__ as E
+
+    spr = preprocess_registry(E._spr(spark, SF))
+    cad = preprocess_registry(E._cad(spark, SF))
+    plan = _plan(exact_full_matches(spr, cad))
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
