@@ -248,8 +248,13 @@ def fuzzy_scores(left: pd.Series, right: pd.Series) -> pd.DataFrame:
     lv = left.fillna("").tolist()
     rv = right.fillna("").tolist()
     pair_cache: dict[tuple[str, str], tuple[float, float, float, float]] = {}
+    perfect = (100.0, 100.0, 100.0, 100.0)
     for i in range(n):
         a, b = lv[i], rv[i]
+        if a == b:
+            # exact-equal fast path: all four scorers are 100 by definition
+            out_sort[i], out_set[i], out_partial[i], out_ratio[i] = perfect
+            continue
         key = (a, b)
         hit = pair_cache.get(key)
         if hit is None:

@@ -85,25 +85,11 @@ def score_candidates(
     sc = spr.sparkSession.sparkContext
     n_part = max(sc.defaultParallelism * 2, 8)
     to_score = to_score.repartition(n_part, "ADDRESS_ID_SPR")
-    # identical streets short-circuit JVM-side: all four scorers are 100
-    # by definition, so those rows never cross the Arrow boundary (a CASE
-    # over the UDF would still evaluate it for every row — ArrowEvalPython
-    # is a whole-plan node — hence the explicit split+union)
-    eq = F.col("STREET_NORM_SPR") == F.col("STREET_NORM_CAD")
-    hundred = F.lit(100.0)
-    eq_scored = to_score.filter(eq).withColumn(
-        "scores",
-        F.struct(
-            hundred.alias("token_sort_ratio"),
-            hundred.alias("token_set_ratio"),
-            hundred.alias("partial_ratio"),
-            hundred.alias("ratio"),
-        ),
-    )
-    ne_scored = to_score.filter(~eq).withColumn(
+    # (equal-string pairs short-circuit INSIDE the kernel — a JVM-side
+    # filter+union split would recompute the block join once per branch)
+    scored = to_score.withColumn(
         "scores", fuzzy_scores(F.col("STREET_NORM_SPR"), F.col("STREET_NORM_CAD"))
     )
-    scored = eq_scored.unionByName(ne_scored)
 
     best_score, best_strategy, strategy_rank = best_of_strategies("scores")
     return (

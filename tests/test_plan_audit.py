@@ -23,7 +23,7 @@ def test_filter_and_projection_pushdown(spark):
     assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
     read_schema = plan.split("ReadSchema")[1][:200]
     assert "l_extendedprice" not in read_schema  # pruned
-    assert "WholeStageCodegen" in plan
+    assert "*(" in plan  # whole-stage codegen stage marker
 
 
 def test_normalize_is_fully_native(spark):
@@ -34,7 +34,7 @@ def test_normalize_is_fully_native(spark):
     plan = _plan(out)
     # no Python evaluation nodes anywhere in the normalization chain
     assert "EvalPython" not in plan and "BatchEval" not in plan
-    assert "WholeStageCodegen" in plan
+    assert "*(" in plan  # whole-stage codegen stage marker
 
 
 def test_fuzzy_plan_has_single_arrow_stage(spark):
