@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1: with a, b, x all < p the products stay under
+# 2^62, so the whole (a*x + b) % p signature matrix runs in native int64
+# numpy — object-dtype bigint math is ~100x slower per doc
+_MERSENNE = (1 << 31) - 1
 
 
 # ---------------------------------------------------------------------------
@@ -116,8 +119,8 @@ def make_minhash_udf(num_perm: int = 64, seed: int = 42):
     array<long> MinHash signature. numpy broadcast per row; object-capable
     ints avoid int64 overflow in (a*x+b) mod p."""
     a, b = _minhash_params(num_perm, seed)
-    a_obj = a.astype(object)
-    b_obj = b.astype(object)
+    a = a[:, None]
+    b = b[:, None]
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash(hashes: pd.Series) -> pd.Series:
@@ -127,9 +130,10 @@ def make_minhash_udf(num_perm: int = 64, seed: int = 42):
             if h is None or len(h) == 0:
                 out.append(empty)
                 continue
-            x = np.asarray(h, dtype=np.int64).astype(object)
-            sig = ((a_obj[:, None] * x[None, :] + b_obj[:, None]) % _MERSENNE).min(axis=1)
-            out.append([int(v) for v in sig])
+            # fold inputs below p first so every product fits in int64
+            x = (np.asarray(h, dtype=np.int64) % _MERSENNE)[None, :]
+            sig = ((a * x + b) % _MERSENNE).min(axis=1)
+            out.append(sig.tolist())
         return pd.Series(out)
 
     return minhash
@@ -147,11 +151,13 @@ def minhash_signatures(
     sh = ngram_shingles(F.col(text_col), shingle_n)
     hashed = F.transform(sh, lambda s: F.abs(F.xxhash64(s)))
     mh = make_minhash_udf(num_perm, seed)
-    return df.select(
-        F.col(id_col).alias("id"),
-        sh.alias("shingles"),
-        mh(hashed).alias("sig"),
-    )
+    # spread the CPU-bound signature kernel across cores explicitly: AQE
+    # sizes by (compressed) bytes and would otherwise serialize it
+    sc = df.sparkSession.sparkContext
+    base = df.select(
+        F.col(id_col).alias("id"), sh.alias("shingles"), hashed.alias("__h")
+    ).repartition(max(sc.defaultParallelism * 2, 8), "id")
+    return base.select("id", "shingles", mh(F.col("__h")).alias("sig"))
 
 
 def minhash_lsh_pairs(

@@ -97,17 +97,31 @@ def candidate_block_pairs(
     is exercised on every real run.
     """
     scale = scale or ScaleConfig()
-    sigs = minhash_signatures(
-        norm.select(F.col("file_id").alias("id"), "lang", "content_norm"),
-        "id",
-        "content_norm",
-        shingle_n=cfg.shingle_n,
-        num_perm=cfg.num_perm,
-        seed=cfg.seed,
-    ).join(norm.select(F.col("file_id").alias("id"), "lang"), "id")
+    # eager localCheckpoint: the signature output is scanned twice below
+    # (banding + hot-key detection), and a downstream single-action write
+    # would otherwise re-run the Arrow kernel once per plan branch — a
+    # lazy persist() does not help when the branches run inside the same
+    # first action
+    sigs = (
+        minhash_signatures(
+            norm.select(F.col("file_id").alias("id"), "lang", "content_norm"),
+            "id",
+            "content_norm",
+            shingle_n=cfg.shingle_n,
+            num_perm=cfg.num_perm,
+            seed=cfg.seed,
+        )
+        .join(norm.select(F.col("file_id").alias("id"), "lang"), "id")
+        .select("id", "lang", "sig")
+        .localCheckpoint()
+    )
     r = cfg.num_perm // cfg.bands
+    # band on ids ONLY — the shingle arrays (KBs per doc) must not ride
+    # through the 16x band explode and its shuffle; they are re-attached
+    # to the deduped pair table afterwards (two narrow joins instead of a
+    # 16x-duplicated wide shuffle)
     banded = sigs.select(
-        "id", "lang", "shingles",
+        "id", "lang",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
@@ -123,18 +137,15 @@ def candidate_block_pairs(
             )
         ).alias("band", "bucket"),
     )
-    probe = banded.select(
-        "lang", "band", "bucket",
-        F.col("id").alias("id_l"), F.col("shingles").alias("sh_l"),
-    )
-    build = banded.select(
-        "lang", "band", "bucket",
-        F.col("id").alias("id_r"), F.col("shingles").alias("sh_r"),
-    )
-    pairs = salted_join(probe, build, ["lang", "band", "bucket"], scale)
+    probe = banded.select("lang", "band", "bucket", F.col("id").alias("id_l"))
+    build = banded.select("lang", "band", "bucket", F.col("id").alias("id_r"))
+    # output is id pairs only — shingles are re-derived natively by the
+    # scoring stage; checkpointing KB-sized arrays per pair would dominate
+    # the stage's write cost for nothing
     return (
-        pairs.filter(F.col("id_l") < F.col("id_r"))
-        .select("lang", "id_l", "id_r", "sh_l", "sh_r")
+        salted_join(probe, build, ["lang", "band", "bucket"], scale)
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("lang", "id_l", "id_r")
         .dropDuplicates(["id_l", "id_r"])
     )
 
@@ -142,11 +153,35 @@ def candidate_block_pairs(
 def score_pairs(pairs: DataFrame, norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
     """Pairwise scoring: native shingle-Jaccard (token-set similarity) +
     one Arrow pass of Jaro-Winkler on path stems. Returns scored pairs
-    with block context for lineage."""
-    stems = norm.select(F.col("file_id"), F.col("path_stem"))
+    with block context for lineage.
+
+    ``pairs`` carries ids only; shingles and stems are attached here by
+    joining ``norm`` (shingling is a native expression — cheaper to
+    recompute than to checkpoint per-pair)."""
+    from .operators.dedup import ngram_shingles
+
+    side = norm.select(
+        F.col("file_id"),
+        F.col("path_stem"),
+        ngram_shingles(F.col("content_norm"), cfg.shingle_n).alias("sh"),
+    )
     p = (
-        pairs.join(stems.withColumnRenamed("file_id", "id_l").withColumnRenamed("path_stem", "stem_l"), "id_l")
-        .join(stems.withColumnRenamed("file_id", "id_r").withColumnRenamed("path_stem", "stem_r"), "id_r")
+        pairs.join(
+            side.select(
+                F.col("file_id").alias("id_l"),
+                F.col("path_stem").alias("stem_l"),
+                F.col("sh").alias("sh_l"),
+            ),
+            "id_l",
+        )
+        .join(
+            side.select(
+                F.col("file_id").alias("id_r"),
+                F.col("path_stem").alias("stem_r"),
+                F.col("sh").alias("sh_r"),
+            ),
+            "id_r",
+        )
     )
     p = p.withColumn("jaccard", jaccard_col(F.col("sh_l"), F.col("sh_r")))
     p = p.withColumn("jw", jaro_winkler_udf(F.col("stem_l"), F.col("stem_r")))
