@@ -42,6 +42,12 @@ class ReposMatchConfig:
     w_path: float = 0.2
     threshold: float = 0.7
     seed: int = 42
+    # second candidate source: (lang, metaphone/soundex of path stem)
+    # blocks — catches renamed near-dups whose content drifted past the
+    # MinHash bands; blocks above the cap are skipped (ubiquitous stems
+    # like "index"/"main" are quadratic and carry no signal)
+    phonetic_blocking: bool = True
+    phonetic_block_cap: int = 100
 
 
 def normalize_repos(df: DataFrame) -> DataFrame:
@@ -142,11 +148,39 @@ def candidate_block_pairs(
     # output is id pairs only — shingles are re-derived natively by the
     # scoring stage; checkpointing KB-sized arrays per pair would dominate
     # the stage's write cost for nothing
-    return (
+    pairs = (
         salted_join(probe, build, ["lang", "band", "bucket"], scale)
         .filter(F.col("id_l") < F.col("id_r"))
         .select("lang", "id_l", "id_r")
-        .dropDuplicates(["id_l", "id_r"])
+    )
+    if cfg.phonetic_blocking:
+        pairs = pairs.unionByName(
+            phonetic_stem_pairs(norm, cfg)
+        )
+    return pairs.dropDuplicates(["id_l", "id_r"])
+
+
+def phonetic_stem_pairs(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
+    """Candidates from (lang, metaphone-or-prefix of the path stem) blocks
+    — the north star's soundex/metaphone name-token keys. Blocks above
+    ``phonetic_block_cap`` files are dropped entirely (deterministically):
+    ubiquitous stems are quadratic noise."""
+    from .functions.phonetic import phonetic_block_key
+
+    keyed = norm.select(
+        F.col("file_id").alias("id"),
+        "lang",
+        phonetic_block_key(F.col("path_stem")).alias("pkey"),
+    ).filter(F.col("pkey") != "")
+    sizes = keyed.groupBy("lang", "pkey").agg(F.count(F.lit(1)).alias("n"))
+    ok = sizes.filter(F.col("n") <= cfg.phonetic_block_cap).select("lang", "pkey")
+    keyed = keyed.join(F.broadcast(ok), ["lang", "pkey"])
+    left = keyed.select("lang", "pkey", F.col("id").alias("id_l"))
+    right = keyed.select("lang", "pkey", F.col("id").alias("id_r"))
+    return (
+        left.join(right, ["lang", "pkey"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("lang", "id_l", "id_r")
     )
 
 
