@@ -96,6 +96,29 @@ def connected_components(
     scale = scale or ScaleConfig()
     debug = bool(os.environ.get("RAM_SPARK_DEBUG"))
     cur = _canonical(edges).localCheckpoint()
+    # size the iteration shuffles to the graph: every star round is 2-3
+    # shuffles of the edge set, and running a 10k-edge graph through the
+    # session-wide partition count (sized for the big pairwise join) just
+    # buys scheduler latency. ~500k edges per partition, restored after.
+    spark = edges.sparkSession
+    n0 = cur.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    cc_parts = max(2, min(int(old_parts), n0 // 500_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+    try:
+        cur = _cc_loop(cur, scale, debug)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # converged edge set is a star forest in canonical (src < dst) form:
+    # src is the component minimum (the root)
+    members = cur.select(F.col("dst").alias("node"), F.col("src").alias("component"))
+    roots = cur.select(F.col("src").alias("node"), F.col("src").alias("component")).distinct()
+    return members.union(roots).distinct()
+
+
+def _cc_loop(cur: DataFrame, scale: ScaleConfig, debug: bool) -> DataFrame:
+    import time
+
     prev_fp = None
     for it in range(scale.cc_max_iterations):
         t0 = time.time()
@@ -115,11 +138,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {scale.cc_max_iterations} iterations"
         )
-    # converged edge set is a star forest in canonical (src < dst) form:
-    # src is the component minimum (the root)
-    members = cur.select(F.col("dst").alias("node"), F.col("src").alias("component"))
-    roots = cur.select(F.col("src").alias("node"), F.col("src").alias("component")).distinct()
-    return members.union(roots).distinct()
+    return cur
 
 
 def cluster_matches(matches: DataFrame, scale: ScaleConfig | None = None) -> DataFrame:
