@@ -451,60 +451,107 @@ def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- rows-only entries (no SQL oracle: hash-seeded or UDF-kernel paths) ----
-
 def q_fuzzy_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 — the real 4-scorer fuzzy phase over the derived registries
-    (kernels oracle-checked in pytest vs DuckDB JW / DP-LCS)."""
+    """J5 — the full fuzzy phase (blocking + salting + candidates-count
+    window + Arrow scoring kernel + deterministic top-1 + threshold) in
+    jw scorer mode, so every value is DuckDB-reproducible. The default
+    blend4 kernels are oracle-checked in pytest (vs DuckDB JW / DP-LCS)
+    and exercised end-to-end by bench.py."""
     from registry_address_matcher_spark.operators.fuzzy import fuzzy_matches
 
     spr = preprocess_registry(_spr(spark, sf_dir))
     cad = preprocess_registry(_cad(spark, sf_dir))
-    m = fuzzy_matches(spr, cad)
+    m = fuzzy_matches(spr, cad, scorer="jw")
     return m.select(
         "ADDRESS_ID_SPR", "ADDRESS_ID_CAD",
-        F.round("MATCH_SCORE", 4).alias("MATCH_SCORE"),
-        "MATCH_TYPE", "CANDIDATES_COUNT",
+        F.col("MATCH_SCORE"), "MATCH_TYPE", "CANDIDATES_COUNT",
     )
 
 
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — per-probe top-k (k=5) above threshold, jw scorer mode."""
+    from registry_address_matcher_spark.operators.fuzzy import fuzzy_topk
+
+    spr = preprocess_registry(_spr(spark, sf_dir))
+    cad = preprocess_registry(_cad(spark, sf_dir))
+    m = fuzzy_topk(spr, cad, k=5, scorer="jw")
+    return m.select(
+        "ADDRESS_ID_SPR", "ADDRESS_ID_CAD",
+        F.col("MATCH_SCORE"), "MATCH_TYPE", "CANDIDATES_COUNT",
+    )
+
+
+def q_v3_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — the v3 engine's 4-way multi-blocking union, deduped pairs."""
+    from registry_address_matcher_spark.operators.engine_v3 import (
+        multi_block_candidates,
+    )
+
+    spr = preprocess_registry(_spr(spark, sf_dir))
+    cad = preprocess_registry(_cad(spark, sf_dir))
+    return multi_block_candidates(spr, cad).select("id_s", "id_c")
+
+
+def q_v3_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 + T3 — full v3 flow: exact SEARCH_KEY phase, fuzzy over the
+    multi-block union ONLY for probes the exact phase missed, per-probe
+    top-k. jw scorer mode for oracle parity."""
+    from registry_address_matcher_spark.operators.engine_v3 import match_v3
+
+    spr = preprocess_registry(_spr(spark, sf_dir))
+    cad = preprocess_registry(_cad(spark, sf_dir))
+    return match_v3(spr, cad, scorer="jw")
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup — MinHash+LSH near-dup pairs on documents (rows-only:
-    depends on xxhash64 seeds; verified Jaccard values are exact)."""
+    """Dedup — MinHash+LSH near-dup pairs on documents. md5 hash mode:
+    the full signature -> band -> bucket-join -> Jaccard-verify chain is
+    reproduced verbatim by the DuckDB oracle (permutation params are
+    md5-derived and embedded in the SQL as literals)."""
     from registry_address_matcher_spark.operators.dedup import (
         minhash_lsh_pairs,
         minhash_signatures,
     )
 
     docs = _load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", shingle_n=5, num_perm=64)
-    return minhash_lsh_pairs(sigs, bands=16, threshold=0.5)
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", shingle_n=5, num_perm=64, hash_mode="md5"
+    )
+    return minhash_lsh_pairs(sigs, bands=16, threshold=0.5, hash_buckets=False)
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup — SimHash near-dup pairs (rows-only)."""
+    """Dedup — SimHash near-dup pairs, md5 token hashes (cross-engine),
+    band count derived from max_hamming (9 bands -> full recall at h<=8)."""
     from registry_address_matcher_spark.operators.dedup import (
         simhash_pairs,
         simhash_signatures,
     )
 
     docs = _load(spark, sf_dir, "documents")
-    return simhash_pairs(simhash_signatures(docs, "doc_id", "text"), max_hamming=8)
+    sigs = simhash_signatures(docs, "doc_id", "text", hash_mode="md5")
+    return simhash_pairs(sigs, max_hamming=8)
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN — multi-table LSH top-k (rows-only; exact baseline is the
-    oracle-checked embedding_topk)."""
+    """ANN — multi-table LSH top-k. Buckets are NATIVE sign-bit
+    expressions over seed-deterministic gaussian hyperplanes; the same
+    plane values are embedded as literals in the DuckDB oracle."""
     from registry_address_matcher_spark.operators.ann import topk_lsh
 
     emb = _load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 200 == 0)
-    return topk_lsh(emb, probes, "vec_id", "embedding", k=10, n_bits=4, n_tables=8)
+    return topk_lsh(emb, probes, "vec_id", "embedding", k=10, n_bits=4, n_tables=8, dim=64)
 
 
 def q_repos_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule pipeline end-to-end over a repos-shaped derivation of
-    documents (rows-only; pairwise F1 + sha invariant gated in pytest)."""
+    documents. Commits are SHARED across files (one commit touches many
+    files — the realistic shape); file identity is the
+    sha256(repo|path|commit) surrogate. md5 hash mode + skeleton phonetic
+    blocking make every stage (signatures, bands, blocks, scores,
+    components) reproducible by the DuckDB oracle; the metaphone/xxhash64
+    production configuration is F1-gated in pytest."""
     from registry_address_matcher_spark.repos_pipeline import (
         ReposMatchConfig,
         accepted_pairs,
@@ -519,11 +566,11 @@ def q_repos_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     repos = docs.select(
         F.concat(F.lit("org/"), F.col("source")).alias("repo"),
         F.concat(F.lit("docs/d"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
-        F.sha2(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")), 256).alias("commit"),
+        F.sha2(F.concat(F.lit("c"), (F.col("doc_id") % 13).cast("string")), 256).alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
     )
-    cfg = ReposMatchConfig(threshold=0.6)
+    cfg = ReposMatchConfig(threshold=0.6, hash_mode="md5", phonetic_kind="skeleton")
     norm = normalize_repos(repos)
     exact = exact_content_pairs(norm)
     scored = score_pairs(candidate_block_pairs(norm, cfg), norm, cfg)
@@ -570,9 +617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "substr_filter": q_substr_filter,
         "pagination": q_pagination,
-        # rows-only (no SQL oracle — hash-seeded / Python-kernel paths;
-        # their kernels are oracle-checked in pytest instead)
         "fuzzy_top1": q_fuzzy_top1,
+        "fuzzy_topk": q_fuzzy_topk,
+        "v3_multiblock": q_v3_multiblock,
+        "v3_match": q_v3_match,
         "minhash_dedup": q_minhash_dedup,
         "simhash_neardup": q_simhash_neardup,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -586,6 +634,338 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM_CAD = _norm_registry_sql(_CAD_SQL)
 _NORM_SPR = _norm_registry_sql(_SPR_SQL)
+
+# Cross-engine hash: Spark conv(substr(md5(x),1,15),16,10) == this (60-bit).
+_H60 = "('0x' || substr(md5({x}),1,15))::BIGINT"
+
+
+def _minhash_sigs_cte(
+    text_table: str, id_expr: str, text_expr: str,
+    shingle_n: int, num_perm: int, seed: int, extra_cols: str = "",
+) -> str:
+    """CTE body computing (id, shingles, sig) exactly like
+    minhash_signatures(hash_mode='md5') — permutation params embedded as
+    literals so the SQL is self-contained.
+
+    Signature math runs as unnest + (hash x perm) cross join + GROUP BY
+    min — vectorized columnar execution. The obvious list-comprehension
+    spelling (64 nested list_transform lambdas per row) is ~100x slower
+    in DuckDB (136 s vs ~1 s on 500 docs)."""
+    from registry_address_matcher_spark.operators.dedup import minhash_params_md5
+
+    a, b = minhash_params_md5(num_perm, seed)
+    a_lit = "[" + ",".join(map(str, a)) + "]"
+    b_lit = "[" + ",".join(map(str, b)) + "]"
+    empty_sig = "[" + ",".join(["2147483647"] * num_perm) + "]"
+    h = _H60.format(x="s")
+    return f"""
+sh AS MATERIALIZED (
+  SELECT {id_expr} AS id, {extra_cols}
+         CASE WHEN len({text_expr}) >= {shingle_n}
+              THEN list_distinct([substr({text_expr}, i, {shingle_n})
+                                  for i in generate_series(1, len({text_expr}) - {shingle_n - 1})])
+              ELSE [] END AS shingles
+  FROM {text_table}
+),
+hx AS (
+  SELECT *, list_transform(shingles, s -> {h} % 2147483647) AS h FROM sh
+),
+__mh_x AS (SELECT id, unnest(h) AS x FROM hx),
+__mh_min AS (
+  SELECT id, i, min(({a_lit}[i+1]*x + {b_lit}[i+1]) % 2147483647) AS s
+  FROM __mh_x, (SELECT unnest(generate_series(0, {num_perm - 1})) AS i)
+  GROUP BY id, i
+),
+__mh_sig AS (SELECT id, list(s ORDER BY i) AS sig FROM __mh_min GROUP BY id),
+sigs AS (
+  SELECT hx.* EXCLUDE (h), coalesce(m.sig, {empty_sig}) AS sig
+  FROM hx LEFT JOIN __mh_sig m USING (id)
+)"""
+
+
+def _fuzzy_jw_oracle(top_k: int) -> str:
+    """Twin of q_fuzzy_top1/q_fuzzy_topk (scorer='jw'): house+building
+    block, CANDIDATES_COUNT over ALL block candidates (pre street filter,
+    advanced_matcher.py:406), JW on street pairs scaled 0-100 round 4,
+    threshold 85, deterministic per-probe rank."""
+    return f"""
+WITH spr AS ({_NORM_SPR}), cad AS ({_NORM_CAD}),
+pairs AS (
+  SELECT spr.ADDRESS_ID AS sid, cad.ADDRESS_ID AS cid,
+         spr.STREET_NORM AS s1, cad.STREET_NORM AS s2
+  FROM spr JOIN cad
+    ON spr.HOUSE_NORM = cad.HOUSE_NORM AND spr.BUILDING_NORM = cad.BUILDING_NORM
+  WHERE spr.HOUSE_NORM <> '' AND cad.HOUSE_NORM <> ''
+),
+counted AS (SELECT *, count(*) OVER (PARTITION BY sid) AS cnt FROM pairs),
+scored AS (
+  SELECT sid, cid, cnt, round(100.0 * jaro_winkler_similarity(s1, s2), 4) AS score
+  FROM counted WHERE s1 <> '' AND s2 <> ''
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY sid ORDER BY score DESC, cid ASC) AS rn
+  FROM scored {"WHERE score >= 85.0" if top_k > 1 else ""}
+)
+SELECT sid AS ADDRESS_ID_SPR, cid AS ADDRESS_ID_CAD,
+       CAST(score AS DOUBLE) AS MATCH_SCORE,
+       'FUZZY_STREET_JW' AS MATCH_TYPE, CAST(cnt AS INT) AS CANDIDATES_COUNT
+FROM ranked WHERE rn <= {top_k} {"AND score >= 85.0" if top_k == 1 else ""}
+"""
+
+
+def _v3_block_union(probe: str) -> str:
+    """v3's 4-way multi-blocking union (engine.py:66-83,147-173) over a
+    probe CTE name — deduped candidate id pairs."""
+    return f"""SELECT DISTINCT id_s, id_c FROM (
+  SELECT s.ADDRESS_ID AS id_s, c.ADDRESS_ID AS id_c FROM {probe} s JOIN cad c
+    ON s.STREET_NORM = c.STREET_NORM AND s.STREET_NORM <> ''
+  UNION ALL
+  SELECT s.ADDRESS_ID, c.ADDRESS_ID FROM {probe} s JOIN cad c
+    ON substr(s.HOUSE_NORM, 1, 2) = substr(c.HOUSE_NORM, 1, 2)
+   AND s.HOUSE_NORM <> '' AND substr(c.HOUSE_NORM, 1, 2) <> ''
+  UNION ALL
+  SELECT s.ADDRESS_ID, c.ADDRESS_ID FROM {probe} s JOIN cad c
+    ON s.HOUSE_NORM = c.HOUSE_NORM AND s.HOUSE_NORM <> ''
+  UNION ALL
+  SELECT s.ADDRESS_ID, c.ADDRESS_ID FROM {probe} s JOIN cad c
+    ON substr(s.STREET_NORM, 1, 3) = substr(c.STREET_NORM, 1, 3)
+   AND s.STREET_NORM <> '' AND substr(c.STREET_NORM, 1, 3) <> ''
+)"""
+
+
+_V3_MULTIBLOCK_ORACLE = f"""
+WITH spr AS ({_NORM_SPR}), cad AS ({_NORM_CAD})
+{_v3_block_union('spr')}
+"""
+
+
+_V3_MATCH_ORACLE = f"""
+WITH spr AS ({_NORM_SPR}), cad AS ({_NORM_CAD}),
+exact AS (
+  SELECT s.ADDRESS_ID AS id_s, c.ADDRESS_ID AS id_c,
+         CAST(100.0 AS DOUBLE) AS score, 'exact' AS match_type, CAST(1 AS INT) AS rank
+  FROM spr s JOIN cad c ON s.SEARCH_KEY = c.SEARCH_KEY
+),
+rem AS (SELECT * FROM spr WHERE ADDRESS_ID NOT IN (SELECT id_s FROM exact)),
+cand AS ({_v3_block_union('rem')}),
+fz AS (
+  SELECT cd.id_s, cd.id_c,
+         round(100.0 * jaro_winkler_similarity(s.SEARCH_KEY, c.SEARCH_KEY), 4) AS score
+  FROM cand cd JOIN rem s ON s.ADDRESS_ID = cd.id_s JOIN cad c ON c.ADDRESS_ID = cd.id_c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id_s ORDER BY score DESC, id_c ASC) AS rn
+  FROM fz WHERE score >= 85.0
+)
+SELECT id_s, id_c, CAST(score AS DOUBLE) AS score, 'fuzzy' AS match_type, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 100
+UNION ALL SELECT * FROM exact
+"""
+
+
+def _repos_match_oracle() -> str:
+    """Twin of q_repos_match: the ENTIRE north-rule pipeline in one SQL
+    statement — normalize + surrogate file_id, exact star edges, md5
+    MinHash banding blocks (lang-scoped), skeleton phonetic blocks with
+    the 100-row cap, 0.8*jaccard+0.2*jw scoring at threshold 0.6, and a
+    recursive-CTE connected-components closure with singleton fill."""
+    from registry_address_matcher_spark.functions.phonetic import skeleton_key_sql
+    from registry_address_matcher_spark.repos_pipeline import ReposMatchConfig
+
+    cfg = ReposMatchConfig(threshold=0.6, hash_mode="md5", phonetic_kind="skeleton")
+    r = cfg.num_perm // cfg.bands
+    skel = skeleton_key_sql("path_stem")
+    sigs_cte = _minhash_sigs_cte(
+        "norm", "file_id", "content_norm", cfg.shingle_n, cfg.num_perm, cfg.seed,
+        extra_cols="lang, path_stem,",
+    )
+    return rf"""
+WITH RECURSIVE
+repos AS (
+  SELECT 'org/' || source AS repo,
+         'docs/d' || CAST(doc_id AS STRING) || '.txt' AS path,
+         sha256('c' || CAST(doc_id % 13 AS STRING)) AS commit,
+         lang, text AS content
+  FROM documents
+),
+norm AS MATERIALIZED (
+  SELECT sha256(concat_ws('|', repo, path, commit)) AS file_id,
+         repo, path, lang,
+         sha256(content) AS content_sha,
+         trim(regexp_replace(content, '\s+', ' ', 'g')) AS content_norm,
+         regexp_replace(string_split(path, '/')[-1], '\.[^.]*$', '') AS path_stem
+  FROM repos
+),
+exact_pairs AS (
+  SELECT rep AS id_l, file_id AS id_r FROM (
+    SELECT file_id, min(file_id) OVER (PARTITION BY sha256(content_norm)) AS rep FROM norm
+  ) WHERE file_id <> rep
+),
+{sigs_cte.lstrip()},
+banded AS (
+  SELECT id, lang, b AS band,
+         array_to_string(sig[b*{r}+1 : b*{r}+{r}], ',') AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, {cfg.bands - 1})) AS b)
+),
+band_pairs AS (
+  SELECT l.id AS id_l, r.id AS id_r
+  FROM banded l JOIN banded r
+    ON l.lang = r.lang AND l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+),
+skel AS MATERIALIZED (
+  SELECT file_id AS id, lang, {skel} AS pkey FROM norm
+  WHERE {skel} <> ''
+),
+ok_blocks AS (
+  SELECT lang, pkey FROM skel GROUP BY lang, pkey
+  HAVING count(*) <= {cfg.phonetic_block_cap}
+),
+skel_pairs AS (
+  SELECT l.id AS id_l, r.id AS id_r
+  FROM (SELECT s.* FROM skel s JOIN ok_blocks USING (lang, pkey)) l
+  JOIN (SELECT s.* FROM skel s JOIN ok_blocks USING (lang, pkey)) r
+    ON l.lang = r.lang AND l.pkey = r.pkey AND l.id < r.id
+),
+cand AS (
+  SELECT DISTINCT id_l, id_r FROM (
+    SELECT * FROM band_pairs UNION ALL SELECT * FROM skel_pairs
+  )
+),
+scored AS (
+  SELECT c.id_l, c.id_r,
+         CASE WHEN len(list_distinct(a.shingles || b.shingles)) = 0 THEN 1.0
+              ELSE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / len(list_distinct(a.shingles || b.shingles)) END AS jac,
+         jaro_winkler_similarity(a.path_stem, b.path_stem) AS jw
+  FROM cand c JOIN sh a ON a.id = c.id_l JOIN sh b ON b.id = c.id_r
+),
+accepted AS (
+  SELECT id_l, id_r FROM scored
+  WHERE round({cfg.w_content} * jac + {cfg.w_path} * jw, 6) >= {cfg.threshold}
+),
+edges AS MATERIALIZED (
+  SELECT id_l, id_r FROM accepted UNION SELECT id_l, id_r FROM exact_pairs
+),
+sym AS MATERIALIZED (SELECT id_l AS src, id_r AS dst FROM edges UNION SELECT id_r, id_l FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+SELECT n.file_id, coalesce(c.component, n.file_id) AS component, n.content_sha
+FROM norm n LEFT JOIN comp c ON c.node = n.file_id
+"""
+
+
+def _minhash_dedup_oracle() -> str:
+    """Twin of q_minhash_dedup: 5-gram shingles, 64 perms, 16 bands of 4,
+    bucket cap 1000, Jaccard verify >= 0.5."""
+    r = 64 // 16
+    return f"""
+WITH {_minhash_sigs_cte('documents', 'doc_id', 'text', 5, 64, 42)},
+banded AS (
+  SELECT id, shingles, b AS band,
+         array_to_string(sig[b*{r}+1 : b*{r}+{r}], ',') AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, 15)) AS b)
+),
+capped AS (
+  SELECT id, shingles, band, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY id) AS rn FROM banded
+  ) WHERE rn <= 1000
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_l, r.id AS id_r
+  FROM capped l JOIN capped r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+),
+j AS (
+  SELECT c.id_l, c.id_r,
+         round(CASE WHEN len(list_distinct(a.shingles || b.shingles)) = 0 THEN 1.0
+               ELSE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                    / len(list_distinct(a.shingles || b.shingles)) END, 6) AS jaccard
+  FROM cand c JOIN sh a ON a.id = c.id_l JOIN sh b ON b.id = c.id_r
+)
+SELECT id_l, id_r, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+
+def _simhash_oracle(max_hamming: int = 8) -> str:
+    """Twin of q_simhash_neardup: md5 token hashes, (h+1)-band layout."""
+    from registry_address_matcher_spark.operators.dedup import simhash_band_layout
+
+    h = _H60.format(x="t")
+    bands = "\n  UNION ALL ".join(
+        f"SELECT id, sim, {i} AS band, (sim >> {off}) & {(1 << w) - 1} AS key FROM sims"
+        for i, (off, w) in enumerate(simhash_band_layout(max_hamming))
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_transform(string_split_regex(lower(trim(text)), '\s+'), t -> {h}) AS h
+  FROM documents
+),
+sims AS (
+  SELECT id,
+         -- md5-mode token hashes are 60-bit: sim bits 60-63 are always 0,
+         -- so the fold stops at 59 (1<<63 would overflow BIGINT anyway)
+         CAST(list_sum([CASE WHEN list_sum(list_transform(h, x -> 2*((x >> b) & 1) - 1)) > 0
+                             THEN (1::BIGINT << b) ELSE 0 END
+                        for b in generate_series(0, 59)]) AS BIGINT) AS sim
+  FROM toks
+),
+banded AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_l, r.id AS id_r, l.sim AS h_l, r.sim AS h_r
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.id < r.id
+)
+SELECT id_l, id_r, CAST(bit_count(xor(h_l, h_r)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(h_l, h_r)) <= {max_hamming}
+"""
+
+
+def _ann_lsh_oracle(k: int = 10, n_bits: int = 4, n_tables: int = 8, seed: int = 42) -> str:
+    """Twin of q_ann_topk_lsh: the SAME gaussian hyperplanes (repr'd
+    doubles round-trip exactly) as literal lists; bucket = sum of sign
+    bits; candidates = bucket hits across tables; exact cos rerank."""
+    from registry_address_matcher_spark.operators.ann import hyperplane_planes
+
+    def bucket_expr(planes) -> str:
+        terms = []
+        for j, row in enumerate(planes):
+            lit = "[" + ",".join(repr(float(x)) for x in row) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    keyed = "\n  UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, ({bucket_expr(hyperplane_planes(64, n_bits, seed + t))}) AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+keyed AS (
+  {keyed}
+),
+pk AS (SELECT * FROM keyed WHERE vec_id % 200 = 0),
+cand AS (
+  SELECT DISTINCT p.vec_id AS q_id, c.vec_id AS id, p.v AS qv, c.v AS cv
+  FROM keyed c JOIN pk p ON c.tbl = p.tbl AND c.bucket = p.bucket AND c.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT q_id, id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+  FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id ASC) AS rank FROM scored
+)
+SELECT q_id, id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
 
 _ORACLE_EXACT_FULL = f"""
 WITH spr AS ({_NORM_SPR}), cad AS ({_NORM_CAD}),
@@ -806,6 +1186,14 @@ WHERE lower(p_name) LIKE '%red%' OR lower(p_type) LIKE '%brass%'
     sqls["pagination"] = """
 SELECT p_partkey, p_name FROM part ORDER BY p_partkey ASC LIMIT 50 OFFSET 100
 """
+    sqls["fuzzy_top1"] = _fuzzy_jw_oracle(top_k=1)
+    sqls["fuzzy_topk"] = _fuzzy_jw_oracle(top_k=5)
+    sqls["v3_multiblock"] = _V3_MULTIBLOCK_ORACLE
+    sqls["v3_match"] = _V3_MATCH_ORACLE
+    sqls["minhash_dedup"] = _minhash_dedup_oracle()
+    sqls["simhash_neardup"] = _simhash_oracle()
+    sqls["ann_topk_lsh"] = _ann_lsh_oracle()
+    sqls["repos_match"] = _repos_match_oracle()
     sqls["connected_components"] = """
 WITH RECURSIVE
 edges AS (

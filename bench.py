@@ -276,6 +276,15 @@ def main() -> None:
     if cores is None and os.environ.get("SPARK_GRAFT_CPUS"):
         cores = int(os.environ["SPARK_GRAFT_CPUS"])
     result = run_bench(args.sf_dir, cores)
+    # per-round trend line (32-core e2e history) so regressions across
+    # rounds are answerable — BENCH/BASELINE.md keeps the N-vs-4N scaling
+    # evidence, this keeps the absolute numbers
+    try:
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "trend.jsonl"), "a") as f:
+            f.write(json.dumps({"ts": int(time.time()), **result}) + "\n")
+    except OSError:
+        pass
     print(json.dumps(result))
 
 

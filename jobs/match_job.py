@@ -50,6 +50,7 @@ def main(argv: list[str] | None = None) -> int:
     from registry_address_matcher_spark.repos_pipeline import (
         ReposMatchConfig,
         accepted_pairs,
+        assert_unique_file_ids,
         candidate_block_pairs,
         cluster_pairs,
         exact_content_pairs,
@@ -85,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         return out
 
     norm = timed("normalize", lambda: normalize_repos(repos))
+    assert_unique_file_ids(norm)  # (repo, path, commit) must be a key
     exact = timed("exact", lambda: exact_content_pairs(norm))
     cand = timed("blocking", lambda: candidate_block_pairs(norm, cfg, scale))
     scored = timed("scoring", lambda: score_pairs(cand, norm, cfg))

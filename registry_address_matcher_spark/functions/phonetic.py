@@ -165,6 +165,30 @@ def metaphone_udf(words: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def skeleton_key(col: Column) -> Column:
+    """Consonant-skeleton blocking key: first letter + first three
+    non-vowel letters of the letters-only uppercased input. A coarser,
+    deliberately SQL-portable sibling of metaphone (no Python kernel, no
+    backreference regexes — DuckDB's RE2 has neither), used by oracle-
+    checked configurations; :func:`skeleton_key_sql` is its DuckDB twin.
+    """
+    s = F.upper(F.regexp_replace(col, "[^A-Za-z]", ""))
+    return F.concat(
+        F.substring(s, 1, 1),
+        F.substring(F.regexp_replace(F.substring(s, 2, 1 << 20), "[AEIOU]", ""), 1, 3),
+    )
+
+
+def skeleton_key_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`skeleton_key` (single source of truth
+    lives here, next to the Spark expression)."""
+    s = f"upper(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))"
+    return (
+        f"concat(substr({s}, 1, 1), "
+        f"substr(regexp_replace(substr({s}, 2, 1048576), '[AEIOU]', '', 'g'), 1, 3))"
+    )
+
+
 def phonetic_block_key(col: Column, prefix_len: int = 3) -> Column:
     """Blocking key: metaphone of the first token for ASCII names,
     normalized prefix otherwise (non-Latin scripts carry no information

@@ -3,11 +3,15 @@
 * :func:`topk_bruteforce` — exact baseline: broadcast the (small) probe
   set against the corpus, native dot products, windowed top-k. One scan
   of the corpus, no shuffle of the corpus itself.
-* :func:`topk_lsh` — the scale path: random-hyperplane bucket keys with
-  multi-probe (probe also joins buckets at hamming distance 1 from its
-  key), so the corpus side shuffles once by bucket and each probe scores
-  only its bucket neighborhood. Recall < 1 by construction; accuracy is
-  measured against the brute-force baseline in tests.
+* :func:`topk_lsh` — the scale path: ``n_tables`` independent random-
+  hyperplane tables. ALL table keys are computed in ONE native projection
+  (array of per-table buckets + posexplode), so the corpus is scanned
+  exactly once and nothing crosses into Python — the round-1 version
+  scanned/unioned the corpus once per table through a pandas UDF. The
+  probe side is broadcast, so the corpus never shuffles either: the join
+  is a broadcast equi-join on (table, bucket). Recall < 1 by
+  construction; accuracy is measured against the brute-force baseline in
+  tests.
 """
 
 from __future__ import annotations
@@ -15,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine_col, make_hyperplane_udf
+from .dedup import cosine_col, hyperplane_bucket_col, hyperplane_planes
 
 
 def _as_double_vec(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -43,6 +47,16 @@ def topk_bruteforce(
     )
 
 
+def _multi_table_keyed(vecs: DataFrame, planes_per_table: list, id_alias: str, v_alias: str) -> DataFrame:
+    """One projection computing every table's bucket, exploded to
+    (table, bucket) rows — a single pass over the input."""
+    keys = F.array(*[hyperplane_bucket_col(F.col("v"), p) for p in planes_per_table])
+    return vecs.select(
+        F.col("id").alias(id_alias), F.col("v").alias(v_alias),
+        F.posexplode(keys).alias("table", "bucket"),
+    )
+
+
 def topk_lsh(
     corpus: DataFrame,
     probes: DataFrame,
@@ -52,32 +66,31 @@ def topk_lsh(
     n_bits: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Multi-table LSH top-k: ``n_tables`` independent ``n_bits``-bit
-    hyperplane tables; candidates are the union of bucket hits across
-    tables, scored exactly, windowed top-k.
+    """Multi-table LSH top-k: candidates are the union of bucket hits
+    across tables, scored exactly, windowed top-k.
 
     Recall/scan tradeoff is (p^k, L)-standard: per-bit agreement
     p = 1 - theta/pi, table hit = p^n_bits, recall = 1-(1-p^n_bits)^L.
     Pick (n_bits, n_tables) from the corpus's similarity profile: tight
     near-dup corpora (cos ~0.95) afford n_bits 12-16 at small L; diffuse
-    corpora need smaller n_bits. Corpus shuffles once per table — the
-    join itself stays equi-key, no crossJoin anywhere.
+    corpora need smaller n_bits.
+
+    ``dim`` is required: inferring it would run a driver-side ``first()``
+    at plan-build time (round-1 defect). Physical plan: one corpus scan,
+    native bucket math (no Python), broadcast probe side, equi-join.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        raise ValueError("dim is required (no plan-build-time actions)")
+    planes = [hyperplane_planes(dim, n_bits, seed + t) for t in range(n_tables)]
     c = _as_double_vec(corpus, id_col, vec_col)
-    p = _as_double_vec(probes, id_col, vec_col).select(
-        F.col("id").alias("q_id"), F.col("v").alias("qv")
+    p = _as_double_vec(probes, id_col, vec_col)
+    c_keyed = _multi_table_keyed(c, planes, "id", "v")
+    p_keyed = _multi_table_keyed(p, planes, "q_id", "qv")
+    pairs = c_keyed.join(F.broadcast(p_keyed), ["table", "bucket"]).filter(
+        F.col("id") != F.col("q_id")
     )
-    c_keyed = None
-    p_keyed = None
-    for t in range(n_tables):
-        key = make_hyperplane_udf(dim, n_bits, seed + t)
-        ck = c.withColumn("bucket", key(F.col("v"))).withColumn("table", F.lit(t))
-        pk = p.withColumn("bucket", key(F.col("qv"))).withColumn("table", F.lit(t))
-        c_keyed = ck if c_keyed is None else c_keyed.unionByName(ck)
-        p_keyed = pk if p_keyed is None else p_keyed.unionByName(pk)
-    pairs = c_keyed.join(p_keyed, ["table", "bucket"]).filter(F.col("id") != F.col("q_id"))
     pairs = pairs.dropDuplicates(["q_id", "id"]).withColumn(
         "cos", F.round(cosine_col(F.col("qv"), F.col("v")), 6)
     )

@@ -40,11 +40,18 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, n_part: int) -> DataFrame:
     """Connect every larger neighbor to the node's minimum. Output may
     contain duplicates — the following small-star round dedups, saving a
-    shuffle per iteration."""
+    shuffle per iteration.
+
+    The explicit ``repartition(n_part, src)`` both sizes the shuffle to
+    the graph AND satisfies the window's required distribution, so no
+    second exchange is inserted — the loop never touches session conf
+    (the round-1 version mutated spark.sql.shuffle.partitions globally,
+    racing any concurrent query on the session)."""
     b = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    b = b.repartition(n_part, "src")
     w = Window.partitionBy("src")
     b = b.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
     return (
@@ -54,7 +61,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, n_part: int) -> DataFrame:
     """Connect all smaller neighbors (and the node) to the minimum.
     Output is already in canonical (src < dst) orientation: emitted pairs
     are (m, v) with m the group minimum."""
@@ -62,13 +69,17 @@ def _small_star(edges: DataFrame) -> DataFrame:
     o = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
+    o = o.repartition(n_part, "src")
     w = Window.partitionBy("src")
     o = o.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
     nbr = o.select("src", "dst", "m")
     out = nbr.select(F.col("m").alias("src"), F.col("dst")).union(
         nbr.select(F.col("m").alias("src"), F.col("src").alias("dst"))
     )
-    return out.filter(F.col("src") != F.col("dst")).distinct()
+    out = out.filter(F.col("src") != F.col("dst"))
+    # repartition on both columns satisfies dropDuplicates' clustering —
+    # the dedup reuses this exchange instead of adding a session-sized one
+    return out.repartition(n_part, "src", "dst").dropDuplicates()
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -91,7 +102,6 @@ def connected_components(
     concern — feed every node as a self-edge if singletons must appear.
     """
     import os
-    import time
 
     scale = scale or ScaleConfig()
     debug = bool(os.environ.get("RAM_SPARK_DEBUG"))
@@ -99,16 +109,14 @@ def connected_components(
     # size the iteration shuffles to the graph: every star round is 2-3
     # shuffles of the edge set, and running a 10k-edge graph through the
     # session-wide partition count (sized for the big pairwise join) just
-    # buys scheduler latency. ~500k edges per partition, restored after.
+    # buys scheduler latency. ~500k edges per partition, applied via
+    # explicit repartition on the loop DataFrames ONLY — session conf is
+    # never mutated (a conf.set here would race concurrent queries).
     spark = edges.sparkSession
     n0 = cur.count()
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    cc_parts = max(2, min(int(old_parts), n0 // 500_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
-    try:
-        cur = _cc_loop(cur, scale, debug)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cc_parts = max(2, min(session_parts, n0 // 500_000 + 1))
+    cur = _cc_loop(cur, scale, debug, cc_parts)
     # converged edge set is a star forest in canonical (src < dst) form:
     # src is the component minimum (the root)
     members = cur.select(F.col("dst").alias("node"), F.col("src").alias("component"))
@@ -116,14 +124,14 @@ def connected_components(
     return members.union(roots).distinct()
 
 
-def _cc_loop(cur: DataFrame, scale: ScaleConfig, debug: bool) -> DataFrame:
+def _cc_loop(cur: DataFrame, scale: ScaleConfig, debug: bool, n_part: int) -> DataFrame:
     import time
 
     prev_fp = None
     for it in range(scale.cc_max_iterations):
         t0 = time.time()
         # small_star output is already canonical (src < dst, deduped)
-        nxt = _small_star(_large_star(cur))
+        nxt = _small_star(_large_star(cur, n_part), n_part)
         if scale.cc_checkpoint_interval and (it % scale.cc_checkpoint_interval == 0):
             nxt = nxt.localCheckpoint()
         fp = _fingerprint(nxt)

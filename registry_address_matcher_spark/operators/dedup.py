@@ -25,6 +25,8 @@ plan, same result on any cluster size.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -36,6 +38,31 @@ from pyspark.sql.functions import pandas_udf
 # 2^62, so the whole (a*x + b) % p signature matrix runs in native int64
 # numpy — object-dtype bigint math is ~100x slower per doc
 _MERSENNE = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------------
+# cross-engine hashing (md5 mode)
+# ---------------------------------------------------------------------------
+# xxhash64 is Spark-only; when results must be reproducible by an external
+# SQL engine (the driver's DuckDB oracle), hash via the first 60 bits of
+# md5 instead: Spark `conv(substr(md5(x),1,15),16,10)` is bit-identical to
+# DuckDB `('0x' || substr(md5(x),1,15))::BIGINT`. 60 bits < 2^63, always
+# positive. md5 costs ~3x xxhash64 per call — the default stays xxhash64;
+# md5 mode is for oracle-checked configurations.
+
+def cross_hash60(col: Column) -> Column:
+    """60-bit non-negative hash computable identically in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def cross_hash60_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`cross_hash60` (single source of truth for
+    oracle builders)."""
+    return f"('0x' || substr(md5({expr}),1,15))::BIGINT"
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
 # ---------------------------------------------------------------------------
@@ -58,10 +85,15 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def ngram_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct character n-gram array, fully native (no UDF)."""
+    """Distinct character n-gram array, fully native (no UDF).
+
+    Guarded for short inputs: Spark's ``sequence(1, 0)`` yields a
+    DESCENDING ``[1, 0]`` (not empty) — texts shorter than ``n`` must
+    short-circuit to an empty array or they grow phantom shingles."""
     length = F.length(col)
-    idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(n))))
+    idx = F.sequence(F.lit(1), length - (n - 1))
+    grams = F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(n))))
+    return F.when(length >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def jaccard_col(a: Column, b: Column) -> Column:
@@ -114,13 +146,23 @@ def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def make_minhash_udf(num_perm: int = 64, seed: int = 42):
+def minhash_params_md5(num_perm: int, seed: int) -> tuple[list[int], list[int]]:
+    """Permutation params derived from md5 — reproducible OUTSIDE this
+    process (oracle SQL embeds them as literals), unlike RandomState's
+    C stream. a in [1, p-1], b in [0, p-1]."""
+    a = [_py_hash60(f"mh-a:{seed}:{i}") % (_MERSENNE - 1) + 1 for i in range(num_perm)]
+    b = [_py_hash60(f"mh-b:{seed}:{i}") % _MERSENNE for i in range(num_perm)]
+    return a, b
+
+
+def make_minhash_udf(num_perm: int = 64, seed: int = 42, params: tuple | None = None):
     """Arrow-batched signature kernel: array<long> shingle hashes ->
-    array<long> MinHash signature. numpy broadcast per row; object-capable
-    ints avoid int64 overflow in (a*x+b) mod p."""
-    a, b = _minhash_params(num_perm, seed)
-    a = a[:, None]
-    b = b[:, None]
+    array<long> MinHash signature. Inputs are folded below the Mersenne
+    prime so the whole (a*x+b) mod p matrix stays inside native int64
+    numpy (see _MERSENNE note above)."""
+    a, b = params if params is not None else _minhash_params(num_perm, seed)
+    a = np.asarray(a, dtype=np.int64)[:, None]
+    b = np.asarray(b, dtype=np.int64)[:, None]
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash(hashes: pd.Series) -> pd.Series:
@@ -146,11 +188,21 @@ def minhash_signatures(
     shingle_n: int = 5,
     num_perm: int = 64,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """DataFrame[id, shingles array<string>, sig array<long>]."""
+    """DataFrame[id, shingles array<string>, sig array<long>].
+
+    hash_mode="md5" makes the whole signature pipeline reproducible in
+    external SQL engines (shingle hash = :func:`cross_hash60`, permutation
+    params = :func:`minhash_params_md5`) at ~3x the hashing cost —
+    xxhash64 stays the scale default."""
     sh = ngram_shingles(F.col(text_col), shingle_n)
-    hashed = F.transform(sh, lambda s: F.abs(F.xxhash64(s)))
-    mh = make_minhash_udf(num_perm, seed)
+    if hash_mode == "md5":
+        hashed = F.transform(sh, lambda s: cross_hash60(s) % F.lit(_MERSENNE))
+        mh = make_minhash_udf(num_perm, seed, params=minhash_params_md5(num_perm, seed))
+    else:
+        hashed = F.transform(sh, lambda s: F.abs(F.xxhash64(s)))
+        mh = make_minhash_udf(num_perm, seed)
     # spread the CPU-bound signature kernel across cores explicitly: AQE
     # sizes by (compressed) bytes and would otherwise serialize it
     sc = df.sparkSession.sparkContext
@@ -165,6 +217,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    hash_buckets: bool = True,
 ) -> DataFrame:
     """Band the signatures, bucket-join, verify with exact shingle Jaccard.
 
@@ -172,26 +225,30 @@ def minhash_lsh_pairs(
     Buckets larger than ``max_bucket`` are deterministically truncated
     (sorted by id) — bounded worst case, and the truncation is visible in
     the returned plan's lineage (cap recorded by caller via block report).
+
+    ``hash_buckets=False`` keeps the raw comma-joined band slice as the
+    bucket key (cross-engine reproducible); True compresses it to int64
+    via xxhash64 — fewer shuffle bytes, the default at scale.
     """
+
+    def band_key(b_i):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(
+                    F.col("sig"),
+                    b_i * (F.size("sig") / bands).cast("int") + 1,
+                    (F.size("sig") / bands).cast("int"),
+                ),
+                lambda v: v.cast("string"),
+            ),
+        )
+        return F.xxhash64(joined).cast("string") if hash_buckets else joined
+
     banded = sigs.select(
         "id", "shingles",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b_i: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"),
-                                b_i * (F.size("sig") / bands).cast("int") + 1,
-                                (F.size("sig") / bands).cast("int"),
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band", "bucket"),
     )
     # deterministic bucket cap
@@ -246,26 +303,52 @@ def simhash64(tokens: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """hash_mode="md5": token hashes via :func:`cross_hash60` (60-bit, so
+    simhash bits 60-63 are structurally 0 — harmless: both producer and
+    any SQL oracle see the same bit pattern)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_mode == "md5":
+        hashed = F.transform(toks, cross_hash60)
+    else:
+        hashed = F.transform(toks, lambda t: F.xxhash64(t))
     return df.select(F.col(id_col).alias("id"), simhash64(hashed).alias("simhash"))
 
 
+def simhash_band_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) chunks covering all 64 bits with ``max_hamming + 1``
+    bands — the pigeonhole guarantee: two hashes within ``max_hamming``
+    differing bits MUST agree on at least one band, so banding recall is 1
+    for every pair the hamming verify would accept."""
+    bands = max_hamming + 1
+    if bands > 64:
+        raise ValueError(f"max_hamming {max_hamming} needs {bands} bands > 64 bits")
+    base, extra = divmod(64, bands)
+    layout, off = [], 0
+    for i in range(bands):
+        w = base + (1 if i < extra else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
 def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates via 4x16-bit band exact-match (any band equal
-    => candidate; guarantees recall for hamming <= 3), verified with
-    native bit_count(xor). Returns [id_l, id_r, hamming]."""
+    """Near-dup candidates via banded exact-match, verified with native
+    bit_count(xor). Band count is DERIVED from ``max_hamming`` (h+1 bands
+    => full recall at hamming <= h; the round-1 fixed 4x16 layout silently
+    missed hamming-4..8 pairs whose flips spanned all 4 bands).
+    Returns [id_l, id_r, hamming]."""
+    layout = simhash_band_layout(max_hamming)
     chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-        .bitwiseAND(F.lit(0xFFFF).cast("long"))
-        .alias(f"c{i}")
-        for i in range(4)
+        F.shiftrightunsigned(F.col("simhash"), off)
+        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+        for off, width in layout
     ]
-    banded = sigs.select("id", "simhash", *chunks)
-    banded = banded.select(
+    banded = sigs.select(
         "id", "simhash",
-        F.posexplode(F.array(*[F.col(f"c{i}") for i in range(4)])).alias("band", "key"),
+        F.posexplode(F.array(*chunks)).alias("band", "key"),
     )
     left = banded.select("band", "key", F.col("id").alias("id_l"), F.col("simhash").alias("h_l"))
     right = banded.select("band", "key", F.col("id").alias("id_r"), F.col("simhash").alias("h_r"))
@@ -293,22 +376,31 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-def make_hyperplane_udf(dim: int, n_bits: int = 16, seed: int = 42):
-    """Random-hyperplane sign-bit LSH key: array<double> -> int bucket."""
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_bits, dim)
+def hyperplane_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Gaussian hyperplane matrix (n_bits x dim), seed-deterministic.
+    Plan-build-time values — embeddable as literals in oracle SQL."""
+    return np.random.RandomState(seed).randn(n_bits, dim)
 
-    @pandas_udf(T.LongType())
-    def lsh_key(vecs: pd.Series) -> pd.Series:
-        out = np.zeros(len(vecs), dtype=np.int64)
-        for i, v in enumerate(vecs):
-            if v is None:
-                continue
-            signs = (planes @ np.asarray(v, dtype=np.float64)) > 0
-            out[i] = int(sum(1 << j for j, s in enumerate(signs) if s))
-        return pd.Series(out)
 
-    return lsh_key
+def hyperplane_bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit LSH bucket as a NATIVE expression: per plane, a sequential
+    zip_with/aggregate dot-product fold (same left-to-right order as
+    DuckDB's list_dot_product — sign parity holds away from exact-zero
+    dots), then sum of 2^j over positive signs. Zero Python crossings;
+    whole-stage codegen keeps it in the scan stage."""
+    bits = []
+    for j, row in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, p: x * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
 
 
 def embedding_neardup_pairs(
@@ -319,10 +411,13 @@ def embedding_neardup_pairs(
     n_bits: int = 12,
     seed: int = 42,
     exact: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine >= threshold pairs. exact=True: all-pairs (test scale only);
     else bucket by hyperplane LSH key first (near-identical vectors share
-    all sign bits with high probability)."""
+    all sign bits with high probability). ``dim`` is required on the LSH
+    path — inferring it would cost a driver-side action at plan-build
+    time."""
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
@@ -332,9 +427,10 @@ def embedding_neardup_pairs(
         right = vecs.select(F.col("id").alias("id_r"), F.col("v").alias("v_r"))
         pairs = left.crossJoin(right).filter(F.col("id_l") < F.col("id_r"))
     else:
-        dim = len(df.select(vec_col).first()[0])
-        key = make_hyperplane_udf(dim, n_bits, seed)
-        keyed = vecs.withColumn("k", key(F.col("v")))
+        if dim is None:
+            raise ValueError("dim is required for the LSH path (no plan-build actions)")
+        planes = hyperplane_planes(dim, n_bits, seed)
+        keyed = vecs.withColumn("k", hyperplane_bucket_col(F.col("v"), planes))
         left = keyed.select("k", F.col("id").alias("id_l"), F.col("v").alias("v_l"))
         right = keyed.select("k", F.col("id").alias("id_r"), F.col("v").alias("v_r"))
         pairs = left.join(right, "k").filter(F.col("id_l") < F.col("id_r"))

@@ -77,13 +77,17 @@ def match_v3(
     cad: DataFrame,
     cfg: MatchConfig | None = None,
     scale: ScaleConfig | None = None,
+    scorer: str = "blend4",
 ) -> DataFrame:
     """Full v3 flow: exact SEARCH_KEY phase, then weighted fuzzy over the
     multi-block union for probe rows the exact phase missed (J8).
 
     Returns [id_s, id_c, score, match_type, rank] with per-probe top-k.
     Scoring runs on SEARCH_KEY pairs (engine.py:181: the v3 engine fuzzes
-    the composite key, not the bare street)."""
+    the composite key, not the bare street). scorer="jw" swaps the
+    weighted blend for a single Jaro-Winkler kernel (0-100, round 4) so
+    the whole flow is reproducible by the driver's DuckDB oracle; the
+    blend stays pytest-oracled."""
     cfg = cfg or MatchConfig()
     exact = (
         spr.select(F.col("ADDRESS_ID").alias("id_s"), "SEARCH_KEY")
@@ -109,10 +113,16 @@ def match_v3(
         )
         .join(cad.select(F.col("ADDRESS_ID").alias("id_c"), F.col("SEARCH_KEY").alias("sk_c")), "id_c")
     )
-    scored = keys.withColumn("scores", fuzzy_scores(F.col("sk_s"), F.col("sk_c")))
-    scored = scored.withColumn("score", F.round(blended_score(), 6)).filter(
-        F.col("score") >= F.lit(cfg.fuzzy_threshold)
-    )
+    if scorer == "jw":
+        from ..functions.similarity import jaro_winkler_udf
+
+        scored = keys.withColumn(
+            "score", F.round(100.0 * jaro_winkler_udf(F.col("sk_s"), F.col("sk_c")), 4)
+        )
+    else:
+        scored = keys.withColumn("scores", fuzzy_scores(F.col("sk_s"), F.col("sk_c")))
+        scored = scored.withColumn("score", F.round(blended_score(), 6))
+    scored = scored.filter(F.col("score") >= F.lit(cfg.fuzzy_threshold))
     w = Window.partitionBy("id_s").orderBy(F.col("score").desc(), F.col("id_c").asc())
     fuzzy = (
         scored.withColumn("rank", F.row_number().over(w))

@@ -59,9 +59,18 @@ def score_candidates(
     spr: DataFrame,
     cad: DataFrame,
     scale: ScaleConfig | None = None,
+    scorer: str = "blend4",
 ) -> DataFrame:
-    """J4 + the scoring half of J5: blocked candidate pairs with all four
-    scores and the per-pair best (score, strategy, rank) attached.
+    """J4 + the scoring half of J5: blocked candidate pairs with the
+    per-pair best (score, strategy, rank) attached.
+
+    scorer="blend4" (default, reference-faithful): ONE Arrow pass
+    computing all four rapidfuzz-semantics scorers, best-of per pair.
+    scorer="jw": single Jaro-Winkler kernel scaled to 0-100 and rounded
+    to 4 decimals — same operator graph, but every value (and therefore
+    the top-1 choice) is reproducible by an external SQL engine with a
+    native jaro_winkler (the driver's DuckDB oracle); the blend4 kernels
+    stay oracle-checked in pytest (DuckDB JW / DP-LCS property tests).
 
     Shared by fuzzy_matches / fuzzy_topk / the bench scaling job so the
     block join is planned exactly once per caller."""
@@ -85,6 +94,17 @@ def score_candidates(
     sc = spr.sparkSession.sparkContext
     n_part = max(sc.defaultParallelism * 2, 8)
     to_score = to_score.repartition(n_part, "ADDRESS_ID_SPR")
+    if scorer == "jw":
+        from ..functions.similarity import jaro_winkler_udf
+
+        return (
+            to_score.withColumn(
+                "best_score",
+                F.round(100.0 * jaro_winkler_udf(F.col("STREET_NORM_SPR"), F.col("STREET_NORM_CAD")), 4),
+            )
+            .withColumn("best_strategy", F.lit("jw"))
+            .withColumn("strategy_rank", F.lit(0))
+        )
     # (equal-string pairs short-circuit INSIDE the kernel — a JVM-side
     # filter+union split would recompute the block join once per branch)
     scored = to_score.withColumn(
@@ -104,10 +124,11 @@ def fuzzy_matches(
     cad: DataFrame,
     cfg: MatchConfig | None = None,
     scale: ScaleConfig | None = None,
+    scorer: str = "blend4",
 ) -> DataFrame:
     """J4+J5 end-to-end: candidates -> batched scores -> top-1 -> threshold."""
     cfg = cfg or MatchConfig()
-    scored = score_candidates(spr, cad, scale)
+    scored = score_candidates(spr, cad, scale, scorer=scorer)
 
     # deterministic top-1 per SPR row: the reference's strict-`>` strategy
     # precedence + first-candidate tie-break, encoded as an explicit order
@@ -137,11 +158,12 @@ def fuzzy_topk(
     k: int = 100,
     cfg: MatchConfig | None = None,
     scale: ScaleConfig | None = None,
+    scorer: str = "blend4",
 ) -> DataFrame:
     """T3 variant (engine.py:204-206): per-probe top-k candidates above
     threshold, deterministic order."""
     cfg = cfg or MatchConfig()
-    scored = score_candidates(spr, cad, scale).filter(
+    scored = score_candidates(spr, cad, scale, scorer=scorer).filter(
         F.col("best_score") >= F.lit(cfg.fuzzy_threshold)
     )
     w_top = Window.partitionBy("ADDRESS_ID_SPR").orderBy(

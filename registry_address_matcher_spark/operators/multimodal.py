@@ -60,21 +60,52 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, feat
 
 
-def decode_images(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+def _pil_image_module():
+    """PIL is an OPTIONAL dependency — absent in this container. Imported
+    inside the executor-side function so the driver never needs it."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _pil_decode(Image, payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real decode: dimensions + a 32-dim grayscale thumbnail feature
+    (8x4 resize, [-1, 1] normalized) — same shape contract as the stub."""
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    w, h = img.size
+    thumb = np.asarray(img.convert("L").resize((8, 4)), dtype=np.float32)
+    return w, h, (thumb.reshape(-1) - 128.0) / 128.0
+
+
+def decode_images(df: DataFrame, decode_stub: bool | None = None) -> DataFrame:
     """payload -> (width, height, feature[32]) via iterator mapInPandas.
+
+    decode_stub=None (default): use PIL when importable on the executor,
+    else fall back to the deterministic stub. True forces the stub;
+    False requires PIL and raises if it is missing.
 
     Streaming iterator: one Arrow batch of payloads in memory at a time.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil_image_module()
+        use_stub = decode_stub if decode_stub is not None else Image is None
+        if not use_stub and Image is None:
+            raise NotImplementedError(
+                "real image decode requires PIL — not installed on this executor"
+            )
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libvips — not in this container"
-                )
             rows = {"media_id": [], "width": [], "height": [], "feature": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, feat = _fake_decode(payload)
+                if use_stub:
+                    w, h, feat = _fake_decode(payload)
+                else:
+                    w, h, feat = _pil_decode(Image, payload)
                 rows["media_id"].append(mid)
                 rows["width"].append(w)
                 rows["height"].append(h)

@@ -42,12 +42,27 @@ class ReposMatchConfig:
     w_path: float = 0.2
     threshold: float = 0.7
     seed: int = 42
-    # second candidate source: (lang, metaphone/soundex of path stem)
-    # blocks — catches renamed near-dups whose content drifted past the
-    # MinHash bands; blocks above the cap are skipped (ubiquitous stems
-    # like "index"/"main" are quadratic and carry no signal)
+    # second candidate source: (lang, phonetic key of path stem) blocks —
+    # catches renamed near-dups whose content drifted past the MinHash
+    # bands; blocks above the cap are skipped (ubiquitous stems like
+    # "index"/"main" are quadratic and carry no signal)
     phonetic_blocking: bool = True
     phonetic_block_cap: int = 100
+    # "metaphone" (default, north-star phonetic code, Arrow kernel) or
+    # "skeleton" (coarser consonant-skeleton, pure native + reproducible
+    # in external SQL — the oracle-checked configuration)
+    phonetic_kind: str = "metaphone"
+    # "xxhash64" (default, cheapest) or "md5" (cross-engine reproducible:
+    # shingle hashes, MinHash params, and band buckets all have DuckDB
+    # twins — used by the driver-oracle configuration)
+    hash_mode: str = "xxhash64"
+
+
+def file_id_col() -> "F.Column":
+    """Surrogate file identity: sha256(repo|path|commit). ``commit`` alone
+    is NOT unique — one commit contains many files (round-1 defect: using
+    it as file_id merged unrelated files through the cluster stage)."""
+    return F.sha2(F.concat_ws("|", "repo", "path", "commit"), 256)
 
 
 def normalize_repos(df: DataFrame) -> DataFrame:
@@ -61,7 +76,7 @@ def normalize_repos(df: DataFrame) -> DataFrame:
         F.element_at(F.split(F.col("path"), "/"), -1), r"\.[^.]*$", ""
     )
     return df.select(
-        F.col("commit").alias("file_id"),
+        file_id_col().alias("file_id"),
         "repo",
         "path",
         "lang",
@@ -69,8 +84,20 @@ def normalize_repos(df: DataFrame) -> DataFrame:
         F.sha2(F.col("content"), 256).alias("content_sha"),
         F.trim(F.regexp_replace(F.col("content"), r"\s+", " ")).alias("content_norm"),
         stem.alias("path_stem"),
-        F.soundex(stem).alias("stem_soundex"),
     )
+
+
+def assert_unique_file_ids(norm: DataFrame) -> None:
+    """(repo, path, commit) is the input's primary key — enforce it, since
+    every downstream join fans out on collisions. One aggregate action."""
+    row = norm.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("file_id").alias("d")
+    ).collect()[0]
+    if row["n"] != row["d"]:
+        raise ValueError(
+            f"duplicate (repo, path, commit) rows: {row['n']} rows, "
+            f"{row['d']} distinct file_ids"
+        )
 
 
 def exact_content_pairs(norm: DataFrame) -> DataFrame:
@@ -116,12 +143,23 @@ def candidate_block_pairs(
             shingle_n=cfg.shingle_n,
             num_perm=cfg.num_perm,
             seed=cfg.seed,
+            hash_mode=cfg.hash_mode,
         )
         .join(norm.select(F.col("file_id").alias("id"), "lang"), "id")
         .select("id", "lang", "sig")
         .localCheckpoint()
     )
     r = cfg.num_perm // cfg.bands
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(F.slice(F.col("sig"), b * r + 1, r), lambda v: v.cast("string")),
+        )
+        # md5 mode keeps the raw slice string (cross-engine); xxhash64
+        # compresses it to int64 — fewer shuffle bytes at scale
+        return joined if cfg.hash_mode == "md5" else F.xxhash64(joined).cast("string")
+
     # band on ids ONLY — the shingle arrays (KBs per doc) must not ride
     # through the 16x band explode and its shuffle; they are re-attached
     # to the deduped pair table afterwards (two narrow joins instead of a
@@ -129,18 +167,7 @@ def candidate_block_pairs(
     banded = sigs.select(
         "id", "lang",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * r + 1, r),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(cfg.bands - 1)), band_key)
         ).alias("band", "bucket"),
     )
     probe = banded.select("lang", "band", "bucket", F.col("id").alias("id_l"))
@@ -161,16 +188,20 @@ def candidate_block_pairs(
 
 
 def phonetic_stem_pairs(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
-    """Candidates from (lang, metaphone-or-prefix of the path stem) blocks
-    — the north star's soundex/metaphone name-token keys. Blocks above
+    """Candidates from (lang, phonetic key of the path stem) blocks — the
+    north star's soundex/metaphone name-token keys (kind="metaphone"), or
+    the SQL-portable consonant skeleton (kind="skeleton"). Blocks above
     ``phonetic_block_cap`` files are dropped entirely (deterministically):
     ubiquitous stems are quadratic noise."""
-    from .functions.phonetic import phonetic_block_key
+    from .functions.phonetic import phonetic_block_key, skeleton_key
 
+    pkey = (
+        skeleton_key(F.col("path_stem"))
+        if cfg.phonetic_kind == "skeleton"
+        else phonetic_block_key(F.col("path_stem"))
+    )
     keyed = norm.select(
-        F.col("file_id").alias("id"),
-        "lang",
-        phonetic_block_key(F.col("path_stem")).alias("pkey"),
+        F.col("file_id").alias("id"), "lang", pkey.alias("pkey")
     ).filter(F.col("pkey") != "")
     sizes = keyed.groupBy("lang", "pkey").agg(F.count(F.lit(1)).alias("n"))
     ok = sizes.filter(F.col("n") <= cfg.phonetic_block_cap).select("lang", "pkey")
@@ -250,7 +281,7 @@ def cluster_pairs(all_pairs: DataFrame, norm: DataFrame, scale: ScaleConfig | No
 def verify_sha_invariant(input_df: DataFrame, output_df: DataFrame) -> bool:
     """Per-row sha256(content) equality between pipeline input and output."""
     lhs = input_df.select(
-        F.col("commit").alias("file_id"), F.sha2("content", 256).alias("sha_in")
+        file_id_col().alias("file_id"), F.sha2("content", 256).alias("sha_in")
     )
     rhs = output_df.select("file_id", F.col("content_sha").alias("sha_out"))
     bad = lhs.join(rhs, "file_id", "full").filter(

@@ -216,18 +216,25 @@ def make_repos(
         cls = []
         for d in range(dups_per_base + 1):
             content = base if d == 0 else _corrupt_content(rng, base, rng.randint(0, 5))
-            commit = hashlib.sha1(f"{seed}:{b}:{d}".encode()).hexdigest()
-            rid = f"{b}:{d}"
+            # one commit touches MANY files (shared across all classes for
+            # a generation) — real-world shape, and the regression trap
+            # for the round-1 file_id=commit bug: any pipeline keying on
+            # commit alone merges every file of a generation into one
+            # cluster and fails the F1 gate
+            commit = hashlib.sha1(f"{seed}:{d}".encode()).hexdigest()
+            repo = f"org{b % 97}/proj{b % 31}_{d}"
+            path = f"src/mod{b % 53}/file_{b}.{lang}"
             rows.append(
                 {
-                    "repo": f"org{b % 97}/proj{b % 31}_{d}",
-                    "path": f"src/mod{b % 53}/file_{b}.{lang}",
+                    "repo": repo,
+                    "path": path,
                     "commit": commit,
                     "lang": lang,
                     "content": content,
                 }
             )
-            cls.append(commit)
+            # surrogate identity — must equal repos_pipeline.file_id_col()
+            cls.append(hashlib.sha256(f"{repo}|{path}|{commit}".encode()).hexdigest())
         ids_by_class.append(cls)
         for i in range(len(cls)):
             for j in range(i + 1, len(cls)):

@@ -70,3 +70,23 @@ def test_cluster_matches_namespaces(spark):
     # SPR "1" and CAD "1" are distinct nodes; all connected through C:1
     assert set(out.node) == {"S:1", "S:2", "C:1"}
     assert len(set(out.component)) == 1
+
+
+def test_cc_never_mutates_session_conf(spark):
+    """Round-1 defect: the loop set spark.sql.shuffle.partitions globally
+    (racy with concurrent queries). Now partition sizing is per-DataFrame
+    repartition only — conf.set must never be called."""
+    from registry_address_matcher_spark.operators.cluster import connected_components
+
+    calls = []
+    orig = spark.conf.set
+    spark.conf.set = lambda k, v: calls.append(k) or orig(k, v)
+    try:
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+        )
+        out = {r.node: r.component for r in connected_components(edges).collect()}
+    finally:
+        spark.conf.set = orig
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    assert "spark.sql.shuffle.partitions" not in calls

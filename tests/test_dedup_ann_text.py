@@ -83,11 +83,38 @@ def test_simhash_pairs(spark):
     assert ("x1", "y1") not in found and ("y1", "x1") not in found
 
 
+def test_simhash_band_layout_guarantees_recall(spark):
+    """hamming-8 pair whose flipped bits touch every 16-bit quarter: the
+    round-1 fixed 4x16 banding missed it; the derived (h+1)-band layout
+    must find it (pigeonhole: 8 flips cannot cover 9 bands)."""
+    from registry_address_matcher_spark.operators.dedup import (
+        simhash_band_layout,
+        simhash_pairs,
+    )
+
+    layout = simhash_band_layout(8)
+    assert len(layout) == 9 and sum(w for _, w in layout) == 64
+
+    base = 0x0123456789ABCDEF
+    flips = [0, 8, 22, 29, 36, 43, 50, 57]  # hits all four 16-bit quarters
+    mutated = base
+    for b in flips:
+        mutated ^= 1 << b
+    sigs = spark.createDataFrame(
+        [("a", base), ("b", mutated)], "id string, simhash long"
+    )
+    pairs = simhash_pairs(sigs, max_hamming=8).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 8
+    # and the old contract would have dropped it: every 16-bit chunk differs
+    for off in (0, 16, 32, 48):
+        assert (base >> off) & 0xFFFF != (mutated >> off) & 0xFFFF
+
+
 def test_embedding_neardup_exact_vs_lsh(spark, emb):
     from registry_address_matcher_spark.operators.dedup import embedding_neardup_pairs
 
     exact = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.9, exact=True)
-    lsh = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.9, n_bits=8)
+    lsh = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.9, n_bits=8, dim=64)
     e = set(map(tuple, exact.select("id_l", "id_r").toPandas().values))
     l = set(map(tuple, lsh.select("id_l", "id_r").toPandas().values))
     assert l <= e  # LSH never invents pairs
@@ -102,7 +129,7 @@ def test_ann_lsh_recall(spark, emb):
     bf = topk_bruteforce(emb, probes, "vec_id", "embedding", k=5).toPandas()
     # this corpus is diffuse (top-5 cos ~0.3) — the hardest LSH regime;
     # 8 tables x 4 bits gives theoretical recall ~0.67 here
-    ann = topk_lsh(emb, probes, "vec_id", "embedding", k=5, n_bits=4, n_tables=8).toPandas()
+    ann = topk_lsh(emb, probes, "vec_id", "embedding", k=5, n_bits=4, n_tables=8, dim=64).toPandas()
     bf_set = set(zip(bf.q_id, bf.id))
     ann_set = set(zip(ann.q_id, ann.id))
     recall = len(bf_set & ann_set) / len(bf_set)

@@ -1,0 +1,90 @@
+"""Source/sink contracts: REST pagination (S2) and Iceberg append
+semantics on the snapshot catalog."""
+
+import pandas as pd
+import pytest
+
+
+def _fake_pages(pages):
+    """fetcher stub returning canned pages; records every (offset, limit)."""
+    calls = []
+
+    def fetch(url, offset, limit):
+        calls.append((offset, limit))
+        idx = offset // limit
+        return pages[idx] if idx < len(pages) else []
+
+    return fetch, calls
+
+
+def test_read_rest_paginates_until_short_page(spark):
+    from registry_address_matcher_spark.sources.io import read_registry
+
+    pages = [
+        [{"ADDRESS_ID": f"S{i}", "STREET_NAME": f"st{i}"} for i in range(3)],
+        [{"ADDRESS_ID": f"S{3 + i}", "STREET_NAME": f"st{3 + i}"} for i in range(3)],
+        [{"ADDRESS_ID": "S6", "STREET_NAME": "st6"}],  # short page -> stop
+    ]
+    fetch, calls = _fake_pages(pages)
+    df = read_registry(spark, "rest:http://fake/registry", fetcher=fetch, page_size=3)
+    assert df.count() == 7
+    assert sorted(df.columns) == ["ADDRESS_ID", "STREET_NAME"]
+    assert calls == [(0, 3), (3, 3), (6, 3)]  # stopped AT the short page
+
+
+def test_read_rest_empty_page_terminates(spark):
+    from registry_address_matcher_spark.sources.io import read_rest
+
+    pages = [[{"a": 1}, {"a": 2}], []]  # exact-multiple: empty page ends it
+    fetch, calls = _fake_pages(pages)
+    df = read_rest(spark, "http://fake", fetcher=fetch, page_size=2)
+    assert df.count() == 2
+    assert calls == [(0, 2), (2, 2)]
+
+
+def test_read_rest_zero_rows_requires_schema(spark):
+    from registry_address_matcher_spark.sources.io import read_rest
+
+    fetch, _ = _fake_pages([[]])
+    with pytest.raises(ValueError, match="0 rows"):
+        read_rest(spark, "http://fake", fetcher=fetch)
+    df = read_rest(spark, "http://fake", fetcher=fetch, schema="a string, b int")
+    assert df.count() == 0 and df.columns == ["a", "b"]
+
+
+def test_iceberg_append_semantics(spark, monkeypatch):
+    """Catalog path must APPEND once the table exists (snapshot history is
+    the whole point of the resume/time-travel contract); create only on
+    first write. Round-1 used createOrReplace on every call."""
+    from registry_address_matcher_spark.sources.io import SnapshotCatalog
+
+    calls = []
+    existing = set()
+
+    class FakeWriter:
+        def __init__(self, ident):
+            self.ident = ident
+
+        def append(self):
+            calls.append(("append", self.ident))
+
+        def create(self):
+            calls.append(("create", self.ident))
+            existing.add(self.ident)
+
+    cat = SnapshotCatalog(spark, "/tmp/unused", iceberg_catalog="ice")
+    df = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+    # patch the CONCRETE classes (pyspark 4 routes through
+    # sql.classic.DataFrame, which shadows base-class attributes)
+    monkeypatch.setattr(type(df), "writeTo", lambda self, ident: FakeWriter(ident))
+    monkeypatch.setattr(
+        type(spark.catalog), "tableExists", lambda self, ident: ident in existing
+    )
+    assert cat.append_snapshot(df, "metrics") == "iceberg"
+    assert cat.append_snapshot(df, "metrics") == "iceberg"
+    assert cat.append_snapshot(df, "metrics") == "iceberg"
+    assert calls == [
+        ("create", "ice.metrics"),
+        ("append", "ice.metrics"),
+        ("append", "ice.metrics"),
+    ]
