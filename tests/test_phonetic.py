@@ -60,13 +60,20 @@ def test_phonetic_stem_pairs_and_cap(spark):
         {"repo": f"r{i}", "path": f"m{i}/index.py", "commit": f"i{i}", "lang": "py", "content": str(i)}
         for i in range(8)
     ]
+    import hashlib
+
+    def fid(r):
+        return hashlib.sha256(f"{r['repo']}|{r['path']}|{r['commit']}".encode()).hexdigest()
+
     df = spark.createDataFrame(pd.DataFrame(rows))
     norm = normalize_repos(df)
     cfg = ReposMatchConfig(phonetic_block_cap=5)
     got = phonetic_stem_pairs(norm, cfg).toPandas()
     pairs = set(zip(got.id_l, got.id_r))
-    assert ("c1", "c2") in pairs          # Smith/Smyth share metaphone SM0
-    assert not any("i" in a and "i" in b for a, b in pairs)  # capped block dropped
+    smith, smyth = fid(rows[0]), fid(rows[1])
+    assert (smith, smyth) in pairs or (smyth, smith) in pairs  # share metaphone SM0
+    index_ids = {fid(r) for r in rows[3:]}
+    assert not any(a in index_ids and b in index_ids for a, b in pairs)  # capped block dropped
 
 
 def test_udf_and_block_key(spark):
