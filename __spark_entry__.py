@@ -481,6 +481,40 @@ def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_radar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chart series — data-quality radar axes (reference charts.py:53-93):
+    long-form (registry, metric, pct) for both registries."""
+    from registry_address_matcher_spark.plans.charts import quality_radar_series
+
+    spr = preprocess_registry(_spr(spark, sf_dir))
+    cad = preprocess_registry(_cad(spark, sf_dir))
+    return quality_radar_series(spr, cad)
+
+
+def q_completeness_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chart series — completeness-correlation density grid over the
+    exact-match table (charts.py:33-37, aggregated for scale)."""
+    from registry_address_matcher_spark.operators.exact import (
+        exact_full_matches,
+        exact_key_matches,
+    )
+    from registry_address_matcher_spark.plans.charts import completeness_scatter_series
+
+    spr = preprocess_registry(_spr(spark, sf_dir))
+    cad = preprocess_registry(_cad(spark, sf_dir))
+    m1 = exact_full_matches(spr, cad)
+    m2 = exact_key_matches(spr, cad, exclude_pairs=m1.select("ADDRESS_ID_SPR", "ADDRESS_ID_CAD"))
+    return completeness_scatter_series(m1.unionByName(m2))
+
+
+def q_match_score_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chart series — fixed-width match-score histogram (charts.py:21-24)
+    over the jw fuzzy top-1 table."""
+    from registry_address_matcher_spark.plans.charts import score_hist_series
+
+    return score_hist_series(q_fuzzy_top1(spark, sf_dir))
+
+
 def q_v3_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 — the v3 engine's 4-way multi-blocking union, deduped pairs."""
     from registry_address_matcher_spark.operators.engine_v3 import (
@@ -619,6 +653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination": q_pagination,
         "fuzzy_top1": q_fuzzy_top1,
         "fuzzy_topk": q_fuzzy_topk,
+        "quality_radar": q_quality_radar,
+        "completeness_scatter": q_completeness_scatter,
+        "match_score_hist": q_match_score_hist,
         "v3_multiblock": q_v3_multiblock,
         "v3_match": q_v3_match,
         "minhash_dedup": q_minhash_dedup,
@@ -1188,6 +1225,37 @@ SELECT p_partkey, p_name FROM part ORDER BY p_partkey ASC LIMIT 50 OFFSET 100
 """
     sqls["fuzzy_top1"] = _fuzzy_jw_oracle(top_k=1)
     sqls["fuzzy_topk"] = _fuzzy_jw_oracle(top_k=5)
+    radar_rows = []
+    for side, cte in (("SPR", _NORM_SPR), ("CAD", _NORM_CAD)):
+        for metric, expr in (
+            ("street_completeness", "avg(CASE WHEN STREET_NAME IS NOT NULL THEN 1 ELSE 0 END)"),
+            ("house_completeness", "avg(CASE WHEN HOUSE IS NOT NULL THEN 1 ELSE 0 END)"),
+            ("building_completeness", "avg(CASE WHEN BUILDING IS NOT NULL THEN 1 ELSE 0 END)"),
+            ("avg_completeness", "avg(COMPLETENESS_SCORE)"),
+        ):
+            radar_rows.append(
+                f"SELECT '{side}' AS registry, '{metric}' AS metric, "
+                f"round({expr} * 100.0, 6) AS pct FROM ({cte})"
+            )
+    sqls["quality_radar"] = "\nUNION ALL\n".join(radar_rows)
+    sqls["completeness_scatter"] = f"""
+WITH spr AS ({_NORM_SPR}), cad AS ({_NORM_CAD}),
+m1 AS ({_ORACLE_EXACT_FULL}), m2 AS ({_ORACLE_EXACT_KEY}),
+m AS (SELECT ADDRESS_ID_SPR, ADDRESS_ID_CAD FROM m1
+      UNION ALL SELECT ADDRESS_ID_SPR, ADDRESS_ID_CAD FROM m2),
+j AS (
+  SELECT round(s.COMPLETENESS_SCORE, 2) AS c_spr, round(c.COMPLETENESS_SCORE, 2) AS c_cad
+  FROM m JOIN spr s ON s.ADDRESS_ID = m.ADDRESS_ID_SPR
+         JOIN cad c ON c.ADDRESS_ID = m.ADDRESS_ID_CAD
+)
+SELECT c_spr, c_cad, count(*) AS n FROM j GROUP BY 1, 2
+"""
+    sqls["match_score_hist"] = f"""
+SELECT CAST(floor(MATCH_SCORE / 5) * 5 AS DOUBLE) AS bin_lo,
+       CAST(floor(MATCH_SCORE / 5) * 5 + 5 AS DOUBLE) AS bin_hi,
+       count(*) AS n
+FROM ({_fuzzy_jw_oracle(top_k=1)}) GROUP BY 1, 2
+"""
     sqls["v3_multiblock"] = _V3_MULTIBLOCK_ORACLE
     sqls["v3_match"] = _V3_MATCH_ORACLE
     sqls["minhash_dedup"] = _minhash_dedup_oracle()

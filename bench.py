@@ -251,8 +251,27 @@ run at two local parallelism levels as this sandbox's stand-in for N vs
 Reference single-thread baseline: ~500 records/sec fuzzy estimate
 (`/root/reference/address.py:1062`); this engine scores
 {thr_hi:,.0f} candidate pairs/sec at {hi} cores.
+
+Why the pair is 2 vs 8 and not 8 vs 32: above ~8 Python workers the single
+local JVM's Arrow loopback saturates this sandboxed kernel (70-90% system
+time) — a local-mode artifact, not a plan property (real executors run
+4-8 cores each; the plan shards on a repartition that scales with
+`defaultParallelism`). The absolute 32-core e2e number is tracked
+per-round in `BENCH/trend.jsonl` (appended by every default `bench.py`
+run) so cross-round regressions stay visible.
 """
         )
+    trend = os.path.join(REPO, "BENCH", "trend.jsonl")
+    if os.path.exists(trend):
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f, open(trend) as t:
+            f.write("\n## e2e trend (sf0.1, default-core runs)\n\n")
+            f.write("| when (unix) | cores | e2e sec | pairs/sec |\n|---|---|---|---|\n")
+            for line in t:
+                r = json.loads(line)
+                f.write(
+                    f"| {r.get('ts')} | {r.get('cores')} | {r.get('value')} "
+                    f"| {r.get('pairs_scored_per_sec')} |\n"
+                )
     print(json.dumps({"scaling_efficiency": round(eff, 3), "levels": results}))
 
 
