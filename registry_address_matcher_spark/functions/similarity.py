@@ -257,6 +257,14 @@ def fuzzy_scores(left: pd.Series, right: pd.Series) -> pd.DataFrame:
             continue
         key = (a, b)
         hit = pair_cache.get(key)
+        if hit is None and " " not in a and " " not in b:
+            # single-token pair: token_sort == token_set == ratio by
+            # definition (sorting one token is identity; the set
+            # intersection is empty for a != b, so both token scores
+            # reduce to indel(a, b)) — 2 of 4 LCS computations skipped
+            r_ratio = indel_ratio(a, b, mask_cache)
+            hit = (r_ratio, r_ratio, partial_ratio(a, b, mask_cache), r_ratio)
+            pair_cache[key] = hit
         if hit is None:
             r_sort = indel_ratio(tsort(a), tsort(b), mask_cache)
             ta, tb = tset(a), tset(b)

@@ -32,27 +32,51 @@ from .exact import as_match_records, tag_side
 
 _PAIR_COLS = ["ADDRESS_ID", "STREET_NAME", "HOUSE", "BUILDING",
               "FULL_ADDRESS", "COMPLETENESS_SCORE", "STREET_NORM"]
+#: what the scoring stage actually needs per side — everything else is
+#: joined back AFTER top-1 (the match set is <= |probe|, tiny next to the
+#: candidate-pair set, so the wide columns never ride the scoring shuffle)
+_SLIM_COLS = ["ADDRESS_ID", "STREET_NORM"]
+_ATTR_COLS = ["STREET_NAME", "HOUSE", "BUILDING", "FULL_ADDRESS", "COMPLETENESS_SCORE"]
 
 
 def candidate_pairs(
     spr: DataFrame,
     cad: DataFrame,
     scale: ScaleConfig | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """J4 — block join on (HOUSE_NORM, BUILDING_NORM) with skew salting.
 
     Keeps empty-street CAD candidates at this stage: the reference counts
     them in CANDIDATES_COUNT even though it never scores them.
+    ``columns`` selects which per-side columns ride the join (default:
+    the full pair schema; the scoring path passes the slim id+street set).
     """
     scale = scale or ScaleConfig()
+    cols = columns or _PAIR_COLS
     keys = ["HOUSE_NORM", "BUILDING_NORM"]
     probe = spr.filter(F.col("HOUSE_NORM") != "").select(*keys, *[
-        F.col(c).alias(f"{c}_SPR") for c in _PAIR_COLS
+        F.col(c).alias(f"{c}_SPR") for c in cols
     ])
     build = cad.filter(F.col("HOUSE_NORM") != "").select(*keys, *[
-        F.col(c).alias(f"{c}_CAD") for c in _PAIR_COLS
+        F.col(c).alias(f"{c}_CAD") for c in cols
     ])
     return salted_join(probe, build, keys, scale)
+
+
+def _attach_side_attrs(matched: DataFrame, spr: DataFrame, cad: DataFrame) -> DataFrame:
+    """Re-attach the non-scoring columns to an id-keyed match table.
+    ADDRESS_ID is unique per registry — two no-fanout hash joins whose
+    left side is the (small) match set, not the candidate-pair set."""
+    spr_attrs = spr.select(
+        F.col("ADDRESS_ID").alias("ADDRESS_ID_SPR"),
+        *[F.col(c).alias(f"{c}_SPR") for c in _ATTR_COLS],
+    )
+    cad_attrs = cad.select(
+        F.col("ADDRESS_ID").alias("ADDRESS_ID_CAD"),
+        *[F.col(c).alias(f"{c}_CAD") for c in _ATTR_COLS],
+    )
+    return matched.join(spr_attrs, "ADDRESS_ID_SPR").join(cad_attrs, "ADDRESS_ID_CAD")
 
 
 def score_candidates(
@@ -72,9 +96,14 @@ def score_candidates(
     native jaro_winkler (the driver's DuckDB oracle); the blend4 kernels
     stay oracle-checked in pytest (DuckDB JW / DP-LCS property tests).
 
+    Output is SLIM — (ids, streets, count, best_*) only; fuzzy_matches /
+    fuzzy_topk join the report columns back after top-1. At scale the
+    candidate-pair set is orders of magnitude larger than the match set,
+    so wide columns must not ride the scoring shuffle.
+
     Shared by fuzzy_matches / fuzzy_topk / the bench scaling job so the
     block join is planned exactly once per caller."""
-    pairs = candidate_pairs(spr, cad, scale)
+    pairs = candidate_pairs(spr, cad, scale, columns=_SLIM_COLS)
 
     # CANDIDATES_COUNT counts ALL house+building candidates per SPR row,
     # including empty-street ones (advanced_matcher.py:406 uses
@@ -142,6 +171,7 @@ def fuzzy_matches(
         .filter(F.col("__rn") == 1)
         .filter(F.col("best_score") >= F.lit(cfg.fuzzy_threshold))
     )
+    top1 = _attach_side_attrs(top1, spr, cad)
 
     rec = as_match_records(
         top1,
@@ -176,6 +206,7 @@ def fuzzy_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+    topk = _attach_side_attrs(topk, spr, cad)
     return as_match_records(
         topk,
         F.col("best_score"),
