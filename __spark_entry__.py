@@ -424,6 +424,18 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped session windows run in batch: per-user gap-merge
+    sessions (native session_window; the streaming twin adds a watermark
+    and is equivalence-tested in pytest). Oracle = gaps-and-islands SQL."""
+    from registry_address_matcher_spark.streaming.events import (
+        sessionized_event_stats,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    return sessionized_event_stats(ev, gap="30 minutes")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup — exact cosine near-duplicate pairs (threshold 0.5)."""
     from registry_address_matcher_spark.operators.dedup import embedding_neardup_pairs
@@ -648,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id_counts": q_lang_id_counts,
         "events_windowed": q_events_windowed,
+        "events_sessionized": q_events_sessionized,
         "embedding_neardup": q_embedding_neardup,
         "substr_filter": q_substr_filter,
         "pagination": q_pagination,
@@ -1206,6 +1219,31 @@ SELECT ({argmax}) AS lang_pred, count(*) AS n FROM documents GROUP BY 1
 SELECT CAST(date_trunc('hour', ts) AS STRING) AS window_start, event_type,
        count(*) AS n, round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
+"""
+    sqls["events_sessionized"] = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+m AS (
+  -- Spark session_window is half-open [start, last+gap): an event at
+  -- EXACTLY prev + gap starts a NEW session, hence >=
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end,
+       count(*) AS n,
+       round(sum(value), 4) AS value_sum
+FROM g GROUP BY user_id, grp
 """
     sqls["embedding_neardup"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -45,6 +45,35 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-user session windows via native ``session_window`` (gap-merge:
+    an event extends the session while ``ts < last_ts + gap``, half-open
+    end = ``last_ts + gap``). Same plan works batch AND streaming — pass
+    ``watermark`` on the streaming path (session state must expire).
+
+    Output: (user_id, session_start/end as unix micros — BIGINT sidesteps
+    cross-engine timestamp-string formatting — n, value_sum round 4).
+    """
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start"),
+            F.unix_micros(F.col("w.end")).alias("session_end"),
+            "n",
+            "value_sum",
+        )
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Drop duplicate event_ids arriving within the watermark."""
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -158,3 +158,26 @@ def test_snapshot_catalog(spark, tmp_path):
     snaps = cat.snapshots("t")
     assert [s["id"] for s in snaps] == [s1, s2]
     assert snaps[1]["parent"] == s1
+
+
+def test_sessionized_stream_matches_batch(spark, tmp_path):
+    """Native session_window: streaming (watermark + AvailableNow) and
+    batch produce identical per-user sessions."""
+    from registry_address_matcher_spark.streaming.events import (
+        sessionized_event_stats,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = _run_stream(
+        spark, sessionized_event_stats(stream, watermark="4 hours"), "sessions"
+    )
+    batch = sessionized_event_stats(events)
+    key = ["user_id", "session_start", "session_end", "n", "value_sum"]
+    got = out.toPandas()[key].sort_values(key).reset_index(drop=True)
+    want = batch.toPandas()[key].sort_values(key).reset_index(drop=True)
+    assert got.equals(want)
+    # sessions are disjoint per user and each covers >= 1 event
+    assert (want.session_end > want.session_start).all()
