@@ -436,6 +436,18 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized_event_stats(ev, gap="30 minutes")
 
 
+def q_value_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator, batch twin: per-user running-total
+    threshold crossings (streaming twin = applyInPandasWithState,
+    equivalence-tested in pytest)."""
+    from registry_address_matcher_spark.streaming.stateful import (
+        threshold_alerts_batch,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    return threshold_alerts_batch(ev, threshold=500.0)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup — exact cosine near-duplicate pairs (threshold 0.5)."""
     from registry_address_matcher_spark.operators.dedup import embedding_neardup_pairs
@@ -661,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": q_lang_id_counts,
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
+        "value_alerts": q_value_alerts,
         "embedding_neardup": q_embedding_neardup,
         "substr_filter": q_substr_filter,
         "pagination": q_pagination,
@@ -1244,6 +1257,23 @@ SELECT user_id,
        count(*) AS n,
        round(sum(value), 4) AS value_sum
 FROM g GROUP BY user_id, grp
+"""
+    sqls["value_alerts"] = """
+WITH c AS (
+  SELECT user_id, event_id, ts,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM events
+),
+l AS (
+  SELECT user_id, event_id, cum,
+         coalesce(lag(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS prev
+  FROM c
+)
+SELECT user_id, event_id,
+       CAST(floor(cum / 500.0) AS BIGINT) AS alert_level,
+       round(cum, 4) AS cum_value
+FROM l WHERE floor(cum / 500.0) > floor(prev / 500.0)
 """
     sqls["embedding_neardup"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -181,3 +181,44 @@ def test_sessionized_stream_matches_batch(spark, tmp_path):
     assert got.equals(want)
     # sessions are disjoint per user and each covers >= 1 event
     assert (want.session_end > want.session_start).all()
+
+
+def test_stateful_threshold_alerts_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState: GroupState must carry the running total
+    ACROSS micro-batches — events are split into two time-ordered files
+    processed one per trigger, so any state loss between batches shifts
+    every second-half alert level."""
+    import time
+
+    from registry_address_matcher_spark.streaming.stateful import (
+        threshold_alerts_batch,
+        threshold_alerts_stream,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "alerts_src")
+    # events are generated in ts order by event_id: split by event_id =
+    # time-split; write first half, then second (newer mtime -> later batch)
+    events.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # file-source orders by modification time
+    events.filter(F.col("event_id") > mid).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        threshold_alerts_stream(stream, threshold=500.0)
+        .writeStream.format("memory").queryName("alerts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("alerts").toPandas()
+    want = threshold_alerts_batch(events, threshold=500.0).toPandas()
+    key = ["user_id", "event_id", "alert_level", "cum_value"]
+    assert len(got) == len(want) > 0
+    assert (
+        got[key].sort_values(key).reset_index(drop=True).equals(
+            want[key].sort_values(key).reset_index(drop=True)
+        )
+    )
