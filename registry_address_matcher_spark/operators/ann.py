@@ -16,7 +16,8 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import cosine_col, hyperplane_bucket_col, hyperplane_planes
@@ -97,6 +98,97 @@ def topk_lsh(
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("id").asc())
     return (
         pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "id", "cos", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — coarse quantizer + per-list exact rerank
+# ---------------------------------------------------------------------------
+
+def train_centroids_lloyd(
+    sample: np.ndarray, k: int, iters: int = 5, seed: int = 42
+) -> np.ndarray:
+    """Deterministic coarse quantizer: seed-hashed init rows + ``iters``
+    fixed Lloyd steps in numpy over a DRIVER-SIDE SAMPLE (at 100 TB you
+    sample ~100k vectors — the quantizer is a build artifact, like an
+    index; it never sees the full corpus). No MLlib: KMeans|| init order
+    depends on partitioning, which would break run-to-run determinism —
+    the whole point here is centroids you can embed as literals in an
+    external verification query."""
+    sample = np.asarray(sample, dtype=np.float64)
+    n = len(sample)
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.permutation(n)[:k]].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def _centroid_dist_cols(vec: Column, centroids: np.ndarray) -> list[Column]:
+    """Per-centroid score proportional to squared L2: ||c||^2 - 2 v.c
+    (||v||^2 is constant across centroids, so argmin is unchanged) —
+    one sequential dot-product fold per centroid, all native."""
+    out = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(vec, lit, lambda x, p: x * p), F.lit(0.0), lambda a, x: a + x
+        )
+        out.append(F.lit(float(c @ c)) - 2.0 * dot)
+    return out
+
+
+def ivf_assign_col(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id (1-based; first occurrence wins ties — the
+    same contract as DuckDB's list_position(d, list_min(d)))."""
+    arr = F.array(*_centroid_dist_cols(vec, centroids))
+    return F.array_position(arr, F.array_min(arr))
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k: corpus rows land in their nearest-centroid list (ONE
+    native projection, corpus never reshuffles — the probe side is
+    broadcast); each probe scans its ``nprobe`` nearest lists and exact-
+    reranks by cosine. Recall loss is only cross-list neighbors; measured
+    against brute force in tests.
+    """
+    c = _as_double_vec(corpus, id_col, vec_col).withColumn(
+        "cid", ivf_assign_col(F.col("v"), centroids)
+    )
+    p = _as_double_vec(probes, id_col, vec_col).select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv")
+    )
+    # probe-side nprobe lists: explode all centroid distances, rank
+    dists = F.posexplode(F.array(*_centroid_dist_cols(F.col("qv"), centroids)))
+    pk = p.select("q_id", "qv", dists.alias("cidx", "dist"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("cidx").asc())
+    pk = (
+        pk.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("q_id", "qv", (F.col("cidx") + 1).alias("cid"))  # 1-based like assign
+    )
+    pairs = c.join(F.broadcast(pk), "cid").filter(F.col("id") != F.col("q_id"))
+    pairs = pairs.dropDuplicates(["q_id", "id"]).withColumn(
+        "cos", F.round(cosine_col(F.col("qv"), F.col("v")), 6)
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select("q_id", "id", "cos", "rank")
     )

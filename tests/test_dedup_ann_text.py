@@ -212,3 +212,48 @@ def test_multimodal_plumbing(spark):
         scan_line = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
         assert scan_line and "payload" not in scan_line[0]
         assert stats.count() == 3
+
+
+def test_ann_ivf_recall_and_determinism(spark, emb):
+    """IVF coarse-quantizer path: recall vs brute force, deterministic
+    centroids, single-scan native plan. (No SQL oracle BY DESIGN: k-means
+    assignment boundaries are not robust to cross-engine float-summation
+    differences compounding over Lloyd iterations — unlike the sign-hash
+    LSH, which IS oracle-checked.)"""
+    import numpy as np
+
+    from registry_address_matcher_spark.operators.ann import (
+        topk_bruteforce,
+        topk_ivf,
+        train_centroids_lloyd,
+    )
+    from pyspark.sql import functions as F
+
+    sample = np.array(
+        [
+            r.v
+            for r in emb.filter(F.col("vec_id") % 7 == 0)
+            .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+            .orderBy("v")  # collect order must be deterministic
+            .collect()
+        ]
+    )
+    cents = train_centroids_lloyd(sample, k=16, iters=5, seed=42)
+    assert cents.shape == (16, 64)
+    assert np.allclose(cents, train_centroids_lloyd(sample, k=16, iters=5, seed=42))
+
+    probes = emb.filter(F.col("vec_id") % 40 == 0)
+    bf = topk_bruteforce(emb, probes, "vec_id", "embedding", k=5).toPandas()
+    ivf = topk_ivf(emb, probes, "vec_id", "embedding", cents, k=5, nprobe=6).toPandas()
+    bf_set = set(zip(bf.q_id, bf.id))
+    ivf_set = set(zip(ivf.q_id, ivf.id))
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+    # returned cos values are exact (rerank is exact within probed lists)
+    merged = ivf.merge(bf, on=["q_id", "id"], suffixes=("_ivf", "_bf"))
+    assert (merged.cos_ivf == merged.cos_bf).all()
+
+    plan = topk_ivf(emb, probes, "vec_id", "embedding", cents, k=5, nprobe=6) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
