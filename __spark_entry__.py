@@ -436,6 +436,31 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized_event_stats(ev, gap="30 minutes")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join (union-trick plan, no range explosion): for
+    each click, the user's most recent purchase at or before it. Oracle =
+    DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of the
+    same semantics."""
+    from registry_address_matcher_spark.operators.asof import asof_join_backward
+
+    ev = _load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join_backward(
+        clicks, purchases, by=["user_id"], ts_col="ts",
+        value_cols=["event_id", "value"], prefix="p_",
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("click_ts"),
+        "event_id",
+        "p_event_id",
+        F.round("p_value", 4).alias("p_value"),
+    )
+
+
 def q_value_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator, batch twin: per-user running-total
     threshold crossings (streaming twin = applyInPandasWithState,
@@ -674,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
         "value_alerts": q_value_alerts,
+        "asof_join": q_asof_join,
         "embedding_neardup": q_embedding_neardup,
         "substr_filter": q_substr_filter,
         "pagination": q_pagination,
@@ -1257,6 +1283,14 @@ SELECT user_id,
        count(*) AS n,
        round(sum(value), 4) AS value_sum
 FROM g GROUP BY user_id, grp
+"""
+    sqls["asof_join"] = """
+WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+purchases AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, epoch_us(c.ts) AS click_ts, c.event_id,
+       p.event_id AS p_event_id, round(p.value, 4) AS p_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
 """
     sqls["value_alerts"] = """
 WITH c AS (
