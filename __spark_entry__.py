@@ -461,6 +461,48 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (bucket-bisected, no nested loop): error events falling
+    inside each user's click/view sessions; counts per session."""
+    from registry_address_matcher_spark.operators.range_join import (
+        interval_point_join,
+    )
+    from registry_address_matcher_spark.streaming.events import (
+        sessionized_event_stats,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    sessions = sessionized_event_stats(
+        ev.filter(F.col("event_type").isin("click", "view")), gap="30 minutes"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("err_ts")
+    )
+    joined = interval_point_join(
+        sessions, errors, by=["user_id"],
+        start_col="session_start", end_col="session_end", ts_col="err_ts",
+        cell_width=30 * 60 * 1_000_000,
+    )
+    return joined.groupBy("user_id", "session_start").agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
+
+
+def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: the DAY level produced by re-aggregating
+    minute -> hour -> day; the oracle aggregates raw rows directly, so a
+    pass proves the re-aggregation contract."""
+    from registry_address_matcher_spark.plans.rollup import rollup_levels
+
+    ev = _load(spark, sf_dir, "events")
+    day = rollup_levels(ev, "ts", "value", ["event_type"])[-1]
+    return day.select(
+        F.unix_micros("bucket_start").alias("day_start"),
+        "event_type", "n",
+        F.round("value_sum", 4).alias("value_sum"),
+    )
+
+
 def q_value_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator, batch twin: per-user running-total
     threshold crossings (streaming twin = applyInPandasWithState,
@@ -700,6 +742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": q_events_sessionized,
         "value_alerts": q_value_alerts,
         "asof_join": q_asof_join,
+        "session_errors": q_session_errors,
+        "rollup_daily": q_rollup_daily,
         "embedding_neardup": q_embedding_neardup,
         "substr_filter": q_substr_filter,
         "pagination": q_pagination,
@@ -1291,6 +1335,27 @@ SELECT c.user_id, epoch_us(c.ts) AS click_ts, c.event_id,
        p.event_id AS p_event_id, round(p.value, 4) AS p_value
 FROM clicks c ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+    sqls["session_errors"] = """
+WITH cv AS (SELECT user_id, ts FROM events WHERE event_type IN ('click', 'view')),
+o AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM cv),
+m AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk FROM o),
+g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS grp FROM m),
+s AS (SELECT user_id, epoch_us(min(ts)) AS session_start,
+             epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end
+      FROM g GROUP BY user_id, grp),
+e AS (SELECT user_id, epoch_us(ts) AS err_ts FROM events WHERE event_type = 'error')
+SELECT s.user_id, s.session_start, count(*) AS n_errors
+FROM s JOIN e ON s.user_id = e.user_id
+             AND s.session_start <= e.err_ts AND e.err_ts < s.session_end
+GROUP BY 1, 2
+"""
+    sqls["rollup_daily"] = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2
 """
     sqls["value_alerts"] = """
 WITH c AS (

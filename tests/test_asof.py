@@ -35,3 +35,25 @@ def test_asof_plan_is_window_not_range_join(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "Join" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_range_join_plan_is_equi_not_nested_loop(spark):
+    """Bucket bisection must plan as a hash equi-join; the naive
+    inequality join Spark would otherwise pick is BroadcastNestedLoop."""
+    from registry_address_matcher_spark.operators.range_join import (
+        interval_point_join,
+    )
+
+    iv = spark.createDataFrame(
+        [(1, 0, 100), (1, 200, 300), (2, 50, 250)], "u long, s long, e long"
+    )
+    pt = spark.createDataFrame(
+        [(1, 50), (1, 150), (1, 250), (2, 60), (2, 260)], "u long, ts long"
+    )
+    out = interval_point_join(iv, pt, ["u"], "s", "e", "ts", cell_width=64)
+    rows = {(r.u, r.s, r.ts) for r in out.collect()}
+    # half-open [s, e): ts=150 hits nothing for u=1; 250 hits [200,300)
+    assert rows == {(1, 0, 50), (1, 200, 250), (2, 50, 60)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
