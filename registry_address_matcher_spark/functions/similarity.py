@@ -93,7 +93,13 @@ def indel_ratio(a: str, b: str, _mask_cache=None) -> float:
 
 
 def partial_ratio(a: str, b: str, _mask_cache=None) -> float:
-    """Best sliding-window indel ratio of the shorter against the longer."""
+    """Best sliding-window indel ratio of the shorter against the longer.
+
+    Exhaustive over windows, but each window is first screened by a
+    sliding character-MULTISET overlap (O(1) per shift): the overlap is
+    an upper bound on LCS, so any window whose bound can't beat the best
+    LCS so far is skipped without running the bit-parallel kernel —
+    identical results, typically 2-5x fewer LCS computations."""
     if len(a) > len(b):
         a, b = b, a
     m, n = len(a), len(b)
@@ -101,14 +107,43 @@ def partial_ratio(a: str, b: str, _mask_cache=None) -> float:
         return 100.0 if n == 0 else 0.0
     if a in b:
         return 100.0
-    best = 0.0
+    if n - m < 8:
+        # few windows (similar-length pair, the street-name hot case):
+        # the screening bookkeeping costs more than it saves
+        best = 0.0
+        for i in range(n - m + 1):
+            r = indel_ratio(a, b[i : i + m], _mask_cache)
+            if r > best:
+                best = r
+                if best >= 100.0:
+                    break
+        return best
+    cnt_a: dict[str, int] = {}
+    for ch in a:
+        cnt_a[ch] = cnt_a.get(ch, 0) + 1
+    win: dict[str, int] = {}
+    for ch in b[:m]:
+        win[ch] = win.get(ch, 0) + 1
+    ov = sum(min(c, win.get(ch, 0)) for ch, c in cnt_a.items())
+    best_lcs = 0
     for i in range(n - m + 1):
-        r = indel_ratio(a, b[i : i + m], _mask_cache)
-        if r > best:
-            best = r
-            if best >= 100.0:
-                break
-    return best
+        if i > 0:
+            out_ch = b[i - 1]
+            in_ch = b[i + m - 1]
+            if out_ch != in_ch:
+                if win[out_ch] <= cnt_a.get(out_ch, 0):
+                    ov -= 1  # a matched occurrence leaves the window
+                win[out_ch] -= 1
+                win[in_ch] = win.get(in_ch, 0) + 1
+                if win[in_ch] <= cnt_a.get(in_ch, 0):
+                    ov += 1  # the new char pairs with an unmatched a-char
+        if ov > best_lcs:
+            l = lcs_length(a, b[i : i + m], _mask_cache)
+            if l > best_lcs:
+                best_lcs = l
+                if l == m:
+                    break
+    return 100.0 * best_lcs / m
 
 
 def _token_sort(s: str) -> str:

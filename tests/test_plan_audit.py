@@ -92,3 +92,18 @@ def test_embedding_neardup_lsh_plan_native(spark):
     plan = _plan(embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.9, n_bits=8, dim=64))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Writing the corpus partitioned by a filter column must let the
+    scan prune directories: the partition filter appears as a
+    PartitionFilters entry and pushed file listing, not a post-scan
+    Filter over all rows."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(path)
+    q = spark.read.parquet(path).filter(F.col("lang") == "en").select("doc_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1][:120]
+    assert "lang" in seg  # the lang predicate prunes at listing time
