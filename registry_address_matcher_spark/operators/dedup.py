@@ -204,11 +204,12 @@ def minhash_signatures(
         hashed = F.transform(sh, lambda s: F.abs(F.xxhash64(s)))
         mh = make_minhash_udf(num_perm, seed)
     # spread the CPU-bound signature kernel across cores explicitly: AQE
-    # sizes by (compressed) bytes and would otherwise serialize it
+    # sizes by (compressed) bytes and would otherwise serialize it; 4x
+    # cores for tail balance (same reasoning as the fuzzy scoring stage)
     sc = df.sparkSession.sparkContext
     base = df.select(
         F.col(id_col).alias("id"), sh.alias("shingles"), hashed.alias("__h")
-    ).repartition(max(sc.defaultParallelism * 2, 8), "id")
+    ).repartition(max(sc.defaultParallelism * 4, 8), "id")
     return base.select("id", "shingles", mh(F.col("__h")).alias("sig"))
 
 

