@@ -922,7 +922,11 @@ repos AS (
   FROM documents
 ),
 norm AS MATERIALIZED (
-  SELECT sha256(concat_ws('|', repo, path, commit)) AS file_id,
+  -- NULL components coalesce to chr(1) (repos_pipeline._NULL_SENTINEL):
+  -- concat_ws drops nulls in both engines, so bare concat_ws would let
+  -- NULL-bearing keys collide
+  SELECT sha256(concat_ws('|', coalesce(repo, chr(1)), coalesce(path, chr(1)),
+                          coalesce(commit, chr(1)))) AS file_id,
          repo, path, lang,
          sha256(content) AS content_sha,
          trim(regexp_replace(content, '\s+', ' ', 'g')) AS content_norm,

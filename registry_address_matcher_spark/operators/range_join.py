@@ -31,16 +31,21 @@ def interval_point_join(
     Time columns are integers (e.g. unix micros); ``cell_width`` in the
     same unit."""
     w = F.lit(cell_width)
-    ib = intervals.withColumn(
-        "__cell",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / w),
-                # end is exclusive: the last covered cell holds end - 1
-                F.floor((F.col(end_col) - 1) / w),
-            )
+    # malformed intervals (end <= start) must explode to NOTHING: Spark's
+    # sequence(hi, lo) with hi > lo generates a DESCENDING sequence, not
+    # an empty one — an inverted interval would fan out huge spurious cell
+    # arrays (or trip the sequence-length limit) that only the final exact
+    # predicate cleans up. The predicate is unsatisfiable for them anyway,
+    # so dropping the rows here is semantics-preserving.
+    cells = F.when(
+        F.col(end_col) > F.col(start_col),
+        F.sequence(
+            F.floor(F.col(start_col) / w),
+            # end is exclusive: the last covered cell holds end - 1
+            F.floor((F.col(end_col) - 1) / w),
         ),
-    )
+    ).otherwise(F.array().cast("array<bigint>"))
+    ib = intervals.withColumn("__cell", F.explode(cells))
     pb = points.withColumn("__cell", F.floor(F.col(ts_col) / w))
     joined = ib.join(pb, by + ["__cell"]).filter(
         (F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col))

@@ -58,11 +58,20 @@ class ReposMatchConfig:
     hash_mode: str = "xxhash64"
 
 
+#: NULL sentinel for the surrogate key: concat_ws SKIPS null arguments in
+#: both Spark and DuckDB, so ('a', NULL, 'b') and ('a', 'b', NULL) would
+#: otherwise hash identically. chr(1) cannot occur in repo/path/commit.
+_NULL_SENTINEL = "\x01"
+
+
 def file_id_col() -> "F.Column":
     """Surrogate file identity: sha256(repo|path|commit). ``commit`` alone
     is NOT unique — one commit contains many files (round-1 defect: using
-    it as file_id merged unrelated files through the cluster stage)."""
-    return F.sha2(F.concat_ws("|", "repo", "path", "commit"), 256)
+    it as file_id merged unrelated files through the cluster stage).
+    NULL components are coalesced to a sentinel so NULL-bearing keys
+    cannot collide (concat_ws silently drops nulls)."""
+    parts = [F.coalesce(F.col(c), F.lit(_NULL_SENTINEL)) for c in ("repo", "path", "commit")]
+    return F.sha2(F.concat_ws("|", *parts), 256)
 
 
 def normalize_repos(df: DataFrame) -> DataFrame:

@@ -83,6 +83,7 @@ def read_rest(
     page_size: int = 1000,
     headers: dict | None = None,
     schema=None,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """S2: REST registry source, offset-paginated until a short/empty page.
 
@@ -90,6 +91,8 @@ def read_rest(
     modest dimension table (tens of thousands of rows). A 100 TB corpus
     never arrives over REST — you land exports to object storage and scan
     parquet; this path exists for source parity with the reference.
+    ``max_rows`` bounds driver memory: a mis-pointed URL raises instead
+    of accumulating the source until the driver OOMs.
 
     ``fetcher(url, offset, limit) -> list[dict]`` is pluggable so tests
     (and non-PostgREST endpoints) inject their own transport.
@@ -104,6 +107,13 @@ def read_rest(
         if not page:
             break
         rows.extend(page)
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"REST source {url!r} exceeded max_rows={max_rows} "
+                f"({len(rows)} rows so far). The REST reader is a driver-side "
+                "dimension-table path; land large tables to object storage "
+                "and read parquet, or raise max_rows explicitly."
+            )
         if len(page) < page_size:
             break
         offset += page_size

@@ -57,3 +57,89 @@ def test_range_join_plan_is_equi_not_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_null_right_values_survive(spark):
+    """The matched right row is attached WHOLESALE: a NULL value column in
+    the most recent right row stays NULL (no stale carry from an earlier
+    non-null row), and all output columns come from the same right row."""
+    from registry_address_matcher_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 30)], "u long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, "early"), (1, 20, None, "late")],
+        "u long, ts long, v double, tag string",
+    )
+    out = asof_join_backward(
+        left, right, by=["u"], ts_col="ts", value_cols=["v", "tag"],
+        tie_cols=["ts"],
+    ).collect()
+    assert len(out) == 1
+    # ts=20 is the match: its v is NULL and must STAY NULL; tag='late'
+    assert out[0]["r_v"] is None
+    assert out[0]["r_tag"] == "late"
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """Among right rows sharing (by, ts), the greatest tie_cols tuple wins
+    — repartitioning must not flip the winner."""
+    from registry_address_matcher_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 50)], "u long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "z"), (1, 10, "m")], "u long, ts long, tag string"
+    )
+    for parts in (1, 7):
+        out = asof_join_backward(
+            left, right.repartition(parts), by=["u"], ts_col="ts",
+            value_cols=["tag"],
+        ).collect()
+        assert out[0]["r_tag"] == "z"
+
+
+def test_asof_chunked_two_pass_matches_single_window(spark):
+    """coarse_cell_micros (segmented carry for group skew) must return
+    byte-identical results to the single-window plan — including cells
+    with no right rows (carry crosses empty cells) and leading NULLs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from registry_address_matcher_spark.operators.asof import asof_join_backward
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # one mega-group: every event mapped onto user 0 -> the single-window
+    # plan sorts it in ONE task; the chunked plan splits it across cells
+    l = ev.filter(F.col("event_type") == "click").select(
+        F.lit(0).alias("user_id"), "ts", "event_id"
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(0).alias("user_id"), "ts", "event_id", "value"
+    )
+    kw = dict(by=["user_id"], ts_col="ts", value_cols=["event_id", "value"],
+              tie_cols=["event_id"], prefix="p_")
+    base = asof_join_backward(l, r, **kw).toPandas()
+    chunked = asof_join_backward(
+        l, r, coarse_cell_micros=3_600_000_000, **kw
+    ).toPandas()
+    key = ["ts", "event_id"]
+    a = base.sort_values(key).reset_index(drop=True)
+    b = chunked.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    assert a["p_event_id"].notna().any()
+
+
+def test_range_join_malformed_interval_explodes_nothing(spark):
+    """end <= start intervals must not fan out cells (Spark sequence(hi,lo)
+    DESCENDS rather than returning empty)."""
+    from registry_address_matcher_spark.operators.range_join import (
+        interval_point_join,
+    )
+
+    iv = spark.createDataFrame(
+        [(1, 100, 100), (1, 500, 0), (1, 0, 100)], "u long, s long, e long"
+    )
+    pt = spark.createDataFrame([(1, 50), (1, 250)], "u long, ts long")
+    out = interval_point_join(iv, pt, ["u"], "s", "e", "ts", cell_width=10)
+    rows = {(r.s, r.e, r.ts) for r in out.collect()}
+    assert rows == {(0, 100, 50)}

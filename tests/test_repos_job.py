@@ -112,3 +112,16 @@ def test_stage_resume_skips_builder(spark, tmp_path):
     assert b.count() == 5
     c = run_stage(spark, d, "s1", builder, force=True)
     assert calls["n"] == 2 and c.count() == 5
+
+
+def test_file_id_null_components_do_not_collide(spark):
+    """concat_ws drops NULLs: without the sentinel, ('a', NULL, 'b') and
+    ('a', 'b', NULL) hash to the same surrogate file_id."""
+    from registry_address_matcher_spark.repos_pipeline import file_id_col
+
+    df = spark.createDataFrame(
+        [("a", None, "b"), ("a", "b", None), ("a", "b", "")],
+        "repo string, path string, commit string",
+    )
+    ids = [r[0] for r in df.select(file_id_col().alias("fid")).collect()]
+    assert len(set(ids)) == 3

@@ -88,3 +88,17 @@ def test_iceberg_append_semantics(spark, monkeypatch):
         ("append", "ice.metrics"),
         ("append", "ice.metrics"),
     ]
+
+
+def test_read_rest_max_rows_cap(spark):
+    """A runaway endpoint must raise, not accumulate until the driver OOMs."""
+    import pytest
+
+    from registry_address_matcher_spark.sources.io import read_rest
+
+    def endless(url, offset, limit):
+        return [{"id": offset + i} for i in range(limit)]
+
+    with pytest.raises(ValueError, match="max_rows"):
+        read_rest(spark, "http://x/endless", fetcher=endless, page_size=100,
+                  max_rows=250)
