@@ -669,6 +669,91 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_lsh(emb, probes, "vec_id", "embedding", k=10, n_bits=4, n_tables=8, dim=64)
 
 
+def _ivf_centroids():
+    """Seed-deterministic gaussian coarse quantizer for the ORACLE-CHECKED
+    IVF query: data-independent centroids, so the identical doubles embed
+    as literals in both engines (oracle_sql() has no access to the data,
+    so Lloyd-trained centroids can't be reproduced there; the trained path
+    stays recall-tested in pytest with train_centroids_lloyd)."""
+    import numpy as np
+
+    return np.random.RandomState(7).randn(16, 64)
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN — IVF top-k: corpus rows assigned to their nearest centroid in
+    ONE native projection, probes scan nprobe=4 lists, exact cosine
+    rerank. Assignment argmin and the rerank are bit-reproducible
+    cross-engine (same left-to-right dot-product folds, literal
+    centroids)."""
+    from registry_address_matcher_spark.operators.ann import topk_ivf
+
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 200 == 0)
+    return topk_ivf(emb, probes, "vec_id", "embedding", _ivf_centroids(), k=10, nprobe=4)
+
+
+_MEDIA_FIXTURE = "/root/repo/.fixtures/media.parquet"
+
+
+def _ensure_media_fixture() -> str:
+    """Deterministic synthetic media table written ONCE with pyarrow (no
+    Spark session needed, so the oracle side can also trigger it). Same
+    shape as operators.multimodal.MEDIA_SCHEMA; payload bytes are seeded.
+    """
+    import os
+
+    if os.path.exists(_MEDIA_FIXTURE):
+        return _MEDIA_FIXTURE
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(42)
+    kinds, mimes = ["image", "audio", "video"], {
+        "image": "image/png", "audio": "audio/wav", "video": "video/mp4"
+    }
+    n = 300
+    rows = {
+        "media_id": [f"m{i:05d}" for i in range(n)],
+        "kind": [kinds[i % 3] for i in range(n)],
+        "mime": [mimes[kinds[i % 3]] for i in range(n)],
+        "payload": [
+            bytes(rng.randint(0, 256, size=rng.randint(500, 5000), dtype=np.uint8))
+            for _ in range(n)
+        ],
+        "width_px": [int(x) for x in rng.randint(64, 4096, size=n)],
+        "duration_ms": [int(x) for x in rng.randint(0, 600_000, size=n)],
+    }
+    schema = pa.schema(
+        [
+            ("media_id", pa.string()),
+            ("kind", pa.string()),
+            ("mime", pa.string()),
+            ("payload", pa.binary()),
+            ("width_px", pa.int64()),
+            ("duration_ms", pa.int64()),
+        ]
+    )
+    os.makedirs(os.path.dirname(_MEDIA_FIXTURE), exist_ok=True)
+    tmp = _MEDIA_FIXTURE + ".tmp"
+    pq.write_table(pa.table(rows, schema=schema), tmp)
+    os.replace(tmp, _MEDIA_FIXTURE)
+    return _MEDIA_FIXTURE
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata aggregate over the binary-payload media table.
+    The payload column must never be read (column pruning is asserted in
+    tests/test_plan_audit.py); the aggregate touches metadata only."""
+    from registry_address_matcher_spark.operators.multimodal import (
+        media_metadata_stats,
+    )
+
+    media = spark.read.parquet(_ensure_media_fixture())
+    return media_metadata_stats(media, numeric_cols=("width_px", "duration_ms"))
+
+
 def q_repos_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule pipeline end-to-end over a repos-shaped derivation of
     documents. Commits are SHARED across files (one commit touches many
@@ -757,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_neardup": q_simhash_neardup,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "media_stats": q_media_stats,
         "repos_match": q_repos_match,
     }
 
@@ -1104,6 +1191,55 @@ ranked AS (
 SELECT q_id, id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
 """
 
+def _ann_ivf_oracle(k: int = 10, nprobe: int = 4) -> str:
+    """Twin of q_ann_topk_ivf. The SAME literal centroids; per-centroid
+    score ||c||^2 - 2 v.c (||v||^2 constant under argmin); corpus
+    assignment = first-position argmin (Spark array_position(array_min) ==
+    DuckDB list_position(list_min)); probes rank centroids by (dist, idx)
+    and scan nprobe lists; exact cosine rerank. All dot products are
+    identical left-to-right folds in both engines."""
+    cents = _ivf_centroids()
+
+    def dist_list(v: str) -> str:
+        terms = []
+        for c in cents:
+            lit = "[" + ",".join(repr(float(x)) for x in c) + "]"
+            cnorm = repr(float(c @ c))
+            terms.append(f"({cnorm} - 2.0 * list_dot_product({v}, {lit}))")
+        return "[" + ",\n   ".join(terms) + "]"
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+  SELECT vec_id, v, list_position(d, list_min(d)) AS cid
+  FROM (SELECT vec_id, v, {dist_list('v')} AS d FROM e)
+),
+pd AS (
+  SELECT vec_id AS q_id, v AS qv, {dist_list('v')} AS d
+  FROM e WHERE vec_id % 200 = 0
+),
+pl AS (
+  SELECT q_id, qv, cidx, d[cidx] AS dist
+  FROM pd, (SELECT unnest(generate_series(1, {len(cents)})) AS cidx)
+),
+pk AS (
+  SELECT q_id, qv, cidx AS cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, cidx ASC) AS rn
+    FROM pl) WHERE rn <= {nprobe}
+),
+pairs AS (
+  SELECT p.q_id, c.vec_id AS id,
+         round(list_dot_product(p.qv, c.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+  FROM c JOIN pk p ON c.cid = p.cid AND c.vec_id <> p.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id ASC) AS rank FROM pairs
+)
+SELECT q_id, id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
 _ORACLE_EXACT_FULL = f"""
 WITH spr AS ({_NORM_SPR}), cad AS ({_NORM_CAD}),
 cad1 AS (
@@ -1432,6 +1568,20 @@ FROM ({_fuzzy_jw_oracle(top_k=1)}) GROUP BY 1, 2
     sqls["minhash_dedup"] = _minhash_dedup_oracle()
     sqls["simhash_neardup"] = _simhash_oracle()
     sqls["ann_topk_lsh"] = _ann_lsh_oracle()
+    sqls["ann_topk_ivf"] = _ann_ivf_oracle()
+    # oracle_sql() may run before the Spark query — materialize the
+    # fixture here too (pyarrow write, no session needed)
+    _ensure_media_fixture()
+    sqls["media_stats"] = f"""
+SELECT kind, count(*) AS n,
+       round(avg(length(mime)), 6) AS avg_mime_len,
+       round(avg(width_px), 6) AS avg_width_px,
+       max(width_px) AS max_width_px,
+       round(avg(duration_ms), 6) AS avg_duration_ms,
+       max(duration_ms) AS max_duration_ms
+FROM read_parquet('{_MEDIA_FIXTURE}')
+GROUP BY kind
+"""
     sqls["repos_match"] = _repos_match_oracle()
     sqls["connected_components"] = """
 WITH RECURSIVE

@@ -209,7 +209,10 @@ def run_scaling_job(sf_dir: str, cores: int | None, replicate: int = 60) -> dict
 def run_repos_scaling_job(cores: int | None, n_base: int = 24000) -> dict:
     """North-rule job proper at one parallelism level: synthetic repos
     table -> normalize -> MinHash blocking -> shingle-Jaccard + JW
-    scoring. Aggregates OVER the scores so nothing prunes."""
+    scoring. Aggregates OVER the scores so nothing prunes. Reports
+    pair-generation and scoring sub-timings so a scaling regression can
+    be localized to a stage (the pair table is persisted between the two
+    timers; it is id-triples only, so the persist is negligible)."""
     from pyspark.sql import functions as F
 
     from registry_address_matcher_spark.repos_pipeline import (
@@ -228,16 +231,22 @@ def run_repos_scaling_job(cores: int | None, n_base: int = 24000) -> dict:
     n_files = norm.count()
     cfg = ReposMatchConfig()
     t0 = time.time()
-    scored = score_pairs(candidate_block_pairs(norm, cfg), norm, cfg)
+    pairs = candidate_block_pairs(norm, cfg, n_docs=n_files).persist()
+    n_pairs = pairs.count()
+    t1 = time.time()
+    scored = score_pairs(pairs, norm, cfg, n_pairs=n_pairs)
     row = scored.agg(
         F.count(F.lit(1)).alias("n"), F.avg("score").alias("avg")
     ).collect()[0]
-    dt = time.time() - t0
+    t2 = time.time()
+    dt = t2 - t0
     out = {
         "cores": cores or os.cpu_count(),
         "files": n_files,
         "pairs_scored": int(row["n"]),
         "seconds": round(dt, 3),
+        "pairgen_seconds": round(t1 - t0, 3),
+        "scoring_seconds": round(t2 - t1, 3),
         "files_per_sec": round(n_files / dt, 1),
     }
     spark.stop()
@@ -303,19 +312,21 @@ run at two local parallelism levels as this sandbox's stand-in for N vs
 | {lo} | {results[lo]['probe_rows']} | {results[lo]['pairs_scored']} | {results[lo]['seconds']} | {thr_lo} |
 | {hi} | {results[hi]['probe_rows']} | {results[hi]['pairs_scored']} | {results[hi]['seconds']} | {thr_hi} |
 
-**Scaling efficiency ({lo}->{hi} cores): {eff:.3f}** (requirement >= 0.8)
+**Scaling efficiency ({lo}->{hi} cores): {eff:.3f} — {"PASS" if eff >= 0.8 else "FAIL"}**
+(north-rule requirement >= 0.8)
 
 Second evidence line — the north-rule repos job itself (synthetic
 `(repo,path,commit,lang,content)` table, normalize -> md-MinHash
 signatures -> banded blocking -> shingle-Jaccard + Jaro-Winkler
 scoring), end-to-end:
 
-| cores | files | pairs scored | stage (s) | files/sec |
-|---|---|---|---|---|
-| {lo} | {repos_res[lo]['files']} | {repos_res[lo]['pairs_scored']} | {repos_res[lo]['seconds']} | {repos_res[lo]['files_per_sec']} |
-| {hi} | {repos_res[hi]['files']} | {repos_res[hi]['pairs_scored']} | {repos_res[hi]['seconds']} | {repos_res[hi]['files_per_sec']} |
+| cores | files | pairs scored | pairgen (s) | scoring (s) | total (s) | files/sec |
+|---|---|---|---|---|---|---|
+| {lo} | {repos_res[lo]['files']} | {repos_res[lo]['pairs_scored']} | {repos_res[lo].get('pairgen_seconds', '-')} | {repos_res[lo].get('scoring_seconds', '-')} | {repos_res[lo]['seconds']} | {repos_res[lo]['files_per_sec']} |
+| {hi} | {repos_res[hi]['files']} | {repos_res[hi]['pairs_scored']} | {repos_res[hi].get('pairgen_seconds', '-')} | {repos_res[hi].get('scoring_seconds', '-')} | {repos_res[hi]['seconds']} | {repos_res[hi]['files_per_sec']} |
 
-**Repos-job scaling efficiency ({lo}->{hi} cores): {r_eff:.3f}**
+**Repos-job scaling efficiency ({lo}->{hi} cores): {r_eff:.3f} — {"PASS" if r_eff >= 0.8 else "FAIL"}**
+(north-rule requirement >= 0.8)
 
 Reference single-thread baseline: ~500 records/sec fuzzy estimate
 (`/root/reference/address.py:1062`); this engine scores
@@ -334,17 +345,53 @@ run) so cross-round regressions stay visible.
     if os.path.exists(trend):
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f, open(trend) as t:
             f.write("\n## e2e trend (sf0.1, default-core runs)\n\n")
-            f.write("| when (unix) | cores | e2e sec | pairs/sec |\n|---|---|---|---|\n")
+            f.write(
+                "| when (unix) | cores | e2e sec (min) | pairs/sec | runs | median |\n"
+                "|---|---|---|---|---|---|\n"
+            )
             for line in t:
                 r = json.loads(line)
                 f.write(
                     f"| {r.get('ts')} | {r.get('cores')} | {r.get('value')} "
-                    f"| {r.get('pairs_scored_per_sec')} |\n"
+                    f"| {r.get('pairs_scored_per_sec')} | "
+                    f"{r.get('runs', 1)} | {r.get('median', '-')} |\n"
                 )
     print(json.dumps({
         "scaling_efficiency": round(eff, 3), "levels": results,
         "repos_scaling_efficiency": round(r_eff, 3), "repos_levels": repos_res,
     }))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def run_bench_repeated(sf_dir: str, cores: int | None, runs: int = 3) -> dict:
+    """The default bench, ``runs`` times in FRESH subprocesses (clean JVM
+    per run), reporting min + median. One run cannot distinguish a real
+    regression from co-tenant CPU noise on this box (the round-2 trend
+    spans 17-42 s on identical code); min is the least-contended
+    measurement, median shows the spread."""
+    results = []
+    for _ in range(runs):
+        cmd = [sys.executable, __file__, "--bench-worker", "--sf-dir", sf_dir]
+        if cores:
+            cmd += ["--cores", str(cores)]
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+    best = min(results, key=lambda r: r["value"])
+    agg = dict(best)
+    agg["runs"] = runs
+    agg["min"] = best["value"]
+    agg["median"] = round(_median([r["value"] for r in results]), 3)
+    agg["queries_median"] = {
+        q: round(_median([r["queries"][q] for r in results]), 3) for q in best["queries"]
+    }
+    agg["pairs_scored_per_sec_best"] = max(r["pairs_scored_per_sec"] for r in results)
+    return agg
 
 
 def main() -> None:
@@ -354,6 +401,8 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-worker", action="store_true")
     ap.add_argument("--repos-scaling-worker", action="store_true")
+    ap.add_argument("--bench-worker", action="store_true")
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--levels", default="2,8", help="two core counts, N and 4N")
     # 30x replication keeps the scaling measurement kernel-bound: at 10x
     # the fixed per-job seconds (session, scans, scheduler) are a big
@@ -374,7 +423,10 @@ def main() -> None:
     cores = args.cores
     if cores is None and os.environ.get("SPARK_GRAFT_CPUS"):
         cores = int(os.environ["SPARK_GRAFT_CPUS"])
-    result = run_bench(args.sf_dir, cores)
+    if args.bench_worker:
+        print(json.dumps(run_bench(args.sf_dir, cores)))
+        return
+    result = run_bench_repeated(args.sf_dir, cores, runs=args.runs)
     # per-round trend line (32-core e2e history) so regressions across
     # rounds are answerable — BENCH/BASELINE.md keeps the N-vs-4N scaling
     # evidence, this keeps the absolute numbers

@@ -53,6 +53,20 @@ class ScaleConfig:
     # localCheckpoint between connected-components iterations
     cc_checkpoint_interval: int = 1
     cc_max_iterations: int = 50
+    # -- CPU-bound Arrow-stage partitioning ---------------------------------
+    # Target candidate pairs per scoring partition. ~250k pairs/partition is
+    # the measured sweet spot for the 4-scorer kernel (bigger -> better
+    # Arrow batch amortization and pair-cache hit rates; smaller -> better
+    # tail balance). The scoring stage derives its partition count as
+    # clamp(ceil(pairs / target), cores, 65536) from a cheap pre-aggregate
+    # over the block keys — the SAME partition size at every cluster size,
+    # so throughput scales with cores instead of batch-efficiency shifting
+    # under the measurement.
+    pairs_per_partition: int = 250_000
+    # Estimate the pair count with one small aggregate action at plan-build
+    # time (the aggregates are over block-key counts, not the data).
+    # False -> fall back to 4 x defaultParallelism partitions.
+    adaptive_scoring_partitions: bool = True
 
 
 @dataclass(frozen=True)

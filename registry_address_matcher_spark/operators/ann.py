@@ -20,7 +20,13 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine_col, hyperplane_bucket_col, hyperplane_planes
+from .dedup import (
+    cosine_col,
+    dot_fold,
+    hyperplane_bucket_over,
+    hyperplane_planes,
+    hyperplane_tables_df,
+)
 
 
 def _as_double_vec(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -50,11 +56,22 @@ def topk_bruteforce(
 
 def _multi_table_keyed(vecs: DataFrame, planes_per_table: list, id_alias: str, v_alias: str) -> DataFrame:
     """One projection computing every table's bucket, exploded to
-    (table, bucket) rows — a single pass over the input."""
-    keys = F.array(*[hyperplane_bucket_col(F.col("v"), p) for p in planes_per_table])
-    return vecs.select(
+    (table, bucket) rows — a single pass over the input. The plane
+    matrices ride as broadcast DATA (one-row cross join +
+    higher-order-function folds): zero large literals in the plan, so
+    analyzer cost is independent of dim x bits x tables (the round-2
+    literal form cost ~10 s PER TRANSFORMATION at dim 1024); buckets are
+    bit-identical to the literal form."""
+    tables = hyperplane_tables_df(vecs.sparkSession, planes_per_table)
+    # bucket array lands as a real column FIRST: referencing `v` both as
+    # an alias target and inside the generator in one select trips
+    # Spark's lateral-column-alias resolution (INTERNAL_ERROR)
+    withb = vecs.crossJoin(F.broadcast(tables)).withColumn(
+        "__bk", F.transform(F.col("__ts"), lambda tbl: hyperplane_bucket_over(F.col("v"), tbl))
+    )
+    return withb.select(
         F.col("id").alias(id_alias), F.col("v").alias(v_alias),
-        F.posexplode(keys).alias("table", "bucket"),
+        F.posexplode("__bk").alias("table", "bucket"),
     )
 
 
@@ -131,25 +148,28 @@ def train_centroids_lloyd(
     return cents
 
 
-def _centroid_dist_cols(vec: Column, centroids: np.ndarray) -> list[Column]:
-    """Per-centroid score proportional to squared L2: ||c||^2 - 2 v.c
-    (||v||^2 is constant across centroids, so argmin is unchanged) —
-    one sequential dot-product fold per centroid, all native."""
-    out = []
-    for c in centroids:
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        dot = F.aggregate(
-            F.zip_with(vec, lit, lambda x, p: x * p), F.lit(0.0), lambda a, x: a + x
-        )
-        out.append(F.lit(float(c @ c)) - 2.0 * dot)
-    return out
+def centroids_df(spark, centroids: np.ndarray) -> DataFrame:
+    """Broadcast carrier for the coarse quantizer: ONE row,
+    ``__cs array<struct<cn:double, cv:array<double>>>`` (||c||^2, vector)
+    in centroid order. Data, not literals — analyzer cost O(1) at any
+    k x dim (the literal form re-paid ~10 s of analysis per DataFrame
+    transformation at k=64 x dim=1024)."""
+    data = [([(float(c @ c), [float(x) for x in c]) for c in centroids],)]
+    return spark.createDataFrame(data, "__cs array<struct<cn:double,cv:array<double>>>")
 
 
-def ivf_assign_col(vec: Column, centroids: np.ndarray) -> Column:
+def centroid_dists_col(vec: Column) -> Column:
+    """Per-centroid score array, proportional to squared L2:
+    ||c||^2 - 2 v.c (||v||^2 constant across centroids, argmin unchanged)
+    — folds over the ``__cs`` data column; order matches an external
+    engine evaluating the same literals (dot_fold is left-to-right)."""
+    return F.transform(F.col("__cs"), lambda s: s["cn"] - 2.0 * dot_fold(vec, s["cv"]))
+
+
+def ivf_assign_col(dists: Column) -> Column:
     """Nearest-centroid id (1-based; first occurrence wins ties — the
     same contract as DuckDB's list_position(d, list_min(d)))."""
-    arr = F.array(*_centroid_dist_cols(vec, centroids))
-    return F.array_position(arr, F.array_min(arr))
+    return F.array_position(dists, F.array_min(dists))
 
 
 def topk_ivf(
@@ -167,15 +187,21 @@ def topk_ivf(
     reranks by cosine. Recall loss is only cross-list neighbors; measured
     against brute force in tests.
     """
-    c = _as_double_vec(corpus, id_col, vec_col).withColumn(
-        "cid", ivf_assign_col(F.col("v"), centroids)
+    cdf = centroids_df(corpus.sparkSession, centroids)
+    c = (
+        _as_double_vec(corpus, id_col, vec_col)
+        .crossJoin(F.broadcast(cdf))
+        .withColumn("cid", ivf_assign_col(centroid_dists_col(F.col("v"))))
+        .drop("__cs")
     )
     p = _as_double_vec(probes, id_col, vec_col).select(
         F.col("id").alias("q_id"), F.col("v").alias("qv")
     )
     # probe-side nprobe lists: explode all centroid distances, rank
-    dists = F.posexplode(F.array(*_centroid_dist_cols(F.col("qv"), centroids)))
-    pk = p.select("q_id", "qv", dists.alias("cidx", "dist"))
+    pk = p.crossJoin(F.broadcast(cdf)).select(
+        "q_id", F.col("qv"),
+        F.posexplode(centroid_dists_col(F.col("qv"))).alias("cidx", "dist"),
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("cidx").asc())
     pk = (
         pk.withColumn("__rn", F.row_number().over(w))

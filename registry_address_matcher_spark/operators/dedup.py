@@ -189,13 +189,21 @@ def minhash_signatures(
     num_perm: int = 64,
     seed: int = 42,
     hash_mode: str = "xxhash64",
+    n_docs: int | None = None,
+    docs_per_partition: int = 4_000,
 ) -> DataFrame:
     """DataFrame[id, shingles array<string>, sig array<long>].
 
     hash_mode="md5" makes the whole signature pipeline reproducible in
     external SQL engines (shingle hash = :func:`cross_hash60`, permutation
     params = :func:`minhash_params_md5`) at ~3x the hashing cost —
-    xxhash64 stays the scale default."""
+    xxhash64 stays the scale default.
+
+    ``n_docs`` (a caller-known row count — never computed here, no
+    plan-build action) sizes the kernel stage at a constant
+    ``docs_per_partition`` docs per partition, so the Arrow batch shape is
+    identical at every cluster size; unknown count falls back to
+    4 x cores."""
     sh = ngram_shingles(F.col(text_col), shingle_n)
     if hash_mode == "md5":
         hashed = F.transform(sh, lambda s: cross_hash60(s) % F.lit(_MERSENNE))
@@ -204,12 +212,16 @@ def minhash_signatures(
         hashed = F.transform(sh, lambda s: F.abs(F.xxhash64(s)))
         mh = make_minhash_udf(num_perm, seed)
     # spread the CPU-bound signature kernel across cores explicitly: AQE
-    # sizes by (compressed) bytes and would otherwise serialize it; 4x
-    # cores for tail balance (same reasoning as the fuzzy scoring stage)
+    # sizes by (compressed) bytes and would otherwise serialize it
     sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if n_docs is not None:
+        n_part = min(max(-(-n_docs // docs_per_partition), cores), 65536)
+    else:
+        n_part = max(cores * 4, 8)
     base = df.select(
         F.col(id_col).alias("id"), sh.alias("shingles"), hashed.alias("__h")
-    ).repartition(max(sc.defaultParallelism * 4, 8), "id")
+    ).repartition(n_part, "id")
     return base.select("id", "shingles", mh(F.col("__h")).alias("sig"))
 
 
@@ -383,25 +395,102 @@ def hyperplane_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).randn(n_bits, dim)
 
 
-def hyperplane_bucket_col(vec: Column, planes: np.ndarray) -> Column:
+def array_lit(values) -> Column:
+    """ONE ``array<double>`` literal for a whole vector, built with a
+    single JVM-side parse. The obvious spellings are 100-1000x slower at
+    production dims: ``F.array(F.lit(x), ...)`` AND ``F.lit(list)`` (which
+    pyspark expands to the former) both issue one py4j round trip PER
+    ELEMENT — measured ~2 s per 1024-dim vector, minutes for k=256
+    centroids or 12-bit x 8-table LSH. One ``F.expr`` string parse costs
+    ~6 ms; ConstantFolding collapses the parsed array to a single Literal
+    node before physical planning. ``%.17e`` round-trips every IEEE
+    double exactly (exponent-form literals are DOUBLE-typed in Spark SQL),
+    so values are bit-identical to an external engine parsing ``repr``."""
+    return F.expr("array(" + ",".join(f"{float(x):.17e}" for x in values) + ")")
+
+
+def fold_dot_expr(vec_name: str, values) -> Column:
+    """``vec . literal`` as ONE JVM-side parse: the same sequential
+    aggregate/zip_with fold the lambda API builds (identical left-to-right
+    double summation, so cross-engine parity with list_dot_product holds),
+    but constructed with a single py4j call. The lambda spelling
+    (``F.aggregate(F.zip_with(...), lambda ...)``) costs ~100-300 ms of
+    py4j traffic PER FOLD — with k=256 centroids or 12-bit x 8-table LSH
+    that is minutes of driver time before Catalyst even starts."""
+    arr = ",".join(f"{float(x):.17e}" for x in values)
+    return F.expr(
+        f"aggregate(zip_with({vec_name}, array({arr}), (x, p) -> x * p), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def hyperplane_bucket_col(vec_name: str, planes: np.ndarray) -> Column:
     """Sign-bit LSH bucket as a NATIVE expression: per plane, a sequential
     zip_with/aggregate dot-product fold (same left-to-right order as
     DuckDB's list_dot_product — sign parity holds away from exact-zero
     dots), then sum of 2^j over positive signs. Zero Python crossings;
-    whole-stage codegen keeps it in the scan stage."""
+    whole-stage codegen keeps it in the scan stage.
+
+    NOTE — literal-embedded form: each plane folds over one array literal
+    parsed JVM-side (:func:`fold_dot_expr`), fine for oracle SQL twins and
+    small dims. At production dims the ANALYZER cost of the n_bits x dim
+    literal children is paid again on every DataFrame transformation —
+    the scale paths use :func:`hyperplane_tables_df` +
+    :func:`hyperplane_bucket_over` (planes as broadcast DATA, analysis
+    O(1)) which computes bit-identical buckets."""
     bits = []
     for j, row in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in row])
-        dot = F.aggregate(
-            F.zip_with(vec, plane, lambda x, p: x * p),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot = fold_dot_expr(vec_name, row)
         bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def dot_fold(vec: Column, other: Column) -> Column:
+    """Sequential left-to-right dot-product fold over two array columns —
+    the ONE summation order used everywhere (matches DuckDB's
+    list_dot_product, so every consumer stays oracle-reproducible)."""
+    return F.aggregate(
+        F.zip_with(vec, other, lambda x, p: x * p), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def hyperplane_tables_df(spark, planes_per_table: list) -> DataFrame:
+    """The scale-path carrier for hyperplane matrices: ONE row,
+    ``__ts array<array<struct<w:bigint, pv:array<double>>>>`` (table ->
+    plane -> (bit weight 2^j, plane vector)). Cross-joined (broadcast,
+    1 row) onto the vector table; the bucket expression folds over the
+    DATA, so the plan holds zero large literals and analysis cost is
+    independent of dim, n_bits and n_tables — at dim 768-4096 with
+    12-bit x 8-table LSH the literal form costs ~10 s of analyzer time
+    PER TRANSFORMATION and the data form is instant. Values are the same
+    doubles, so results are bit-identical to the literal form."""
+    data = [
+        (
+            [
+                [(1 << j, [float(x) for x in row]) for j, row in enumerate(tbl)]
+                for tbl in planes_per_table
+            ],
+        )
+    ]
+    return spark.createDataFrame(
+        data, "__ts array<array<struct<w:bigint,pv:array<double>>>>"
+    )
+
+
+def hyperplane_bucket_over(vec: Column, table: Column) -> Column:
+    """Bucket of ``vec`` for one table of ``(w, pv)`` plane structs:
+    sum of w over planes with positive dot. Integer accumulation — order
+    exact; dot folds are :func:`dot_fold` (cross-engine order)."""
+    zero = F.lit(0).cast("bigint")
+    return F.aggregate(
+        table,
+        zero,
+        lambda acc, s: acc
+        + F.when(dot_fold(vec, s["pv"]) > 0, s["w"]).otherwise(zero),
+    )
 
 
 def embedding_neardup_pairs(
@@ -431,7 +520,12 @@ def embedding_neardup_pairs(
         if dim is None:
             raise ValueError("dim is required for the LSH path (no plan-build actions)")
         planes = hyperplane_planes(dim, n_bits, seed)
-        keyed = vecs.withColumn("k", hyperplane_bucket_col(F.col("v"), planes))
+        # planes ride as broadcast DATA (one-row cross join), not literals:
+        # plan size and analyzer cost stay O(1) at production dims
+        tables = hyperplane_tables_df(df.sparkSession, [planes])
+        keyed = vecs.crossJoin(F.broadcast(tables)).withColumn(
+            "k", hyperplane_bucket_over(F.col("v"), F.col("__ts")[0])
+        ).drop("__ts")
         left = keyed.select("k", F.col("id").alias("id_l"), F.col("v").alias("v_l"))
         right = keyed.select("k", F.col("id").alias("id_r"), F.col("v").alias("v_r"))
         pairs = left.join(right, "k").filter(F.col("id_l") < F.col("id_r"))

@@ -79,6 +79,57 @@ def _attach_side_attrs(matched: DataFrame, spr: DataFrame, cad: DataFrame) -> Da
     return matched.join(spr_attrs, "ADDRESS_ID_SPR").join(cad_attrs, "ADDRESS_ID_CAD")
 
 
+def estimate_block_pairs(spr: DataFrame, cad: DataFrame, keys: list[str]) -> int:
+    """Expected candidate-pair count = sum over blocks of |probe| x |build|.
+    Aggregates per-key COUNTS (tiny next to the data) and joins them — one
+    small action, no pair materialization."""
+    pa = (
+        spr.filter(F.col("HOUSE_NORM") != "")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__np"))
+    )
+    pb = (
+        cad.filter(F.col("HOUSE_NORM") != "")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    row = (
+        pa.join(pb, keys)
+        .agg(F.sum(F.col("__np") * F.col("__nb")).alias("pairs"))
+        .collect()[0]
+    )
+    return int(row["pairs"] or 0)
+
+
+def _scoring_partitions(spr: DataFrame, cad: DataFrame, scale: ScaleConfig | None) -> int:
+    """Partition count for the CPU-bound Arrow scoring stage.
+
+    Adaptive (default): clamp(ceil(pairs / pairs_per_partition), cores,
+    65536) from a cheap block-key-count estimate. Keeping the PARTITION
+    SIZE constant (~250k pairs) across cluster sizes is what makes
+    throughput scale with cores — a cores-derived count changes the Arrow
+    batch size under the measurement (round-2 regression: 4 x cores gave
+    128 undersized partitions at 32 cores and 3.14 s -> 4.61 s on the
+    identical sf0.1 input). Fallback when adaptation is disabled or the
+    estimate fails: 4 x cores. ``RAM_SPARK_SCORE_PARTS`` overrides both.
+    """
+    import os
+
+    scale = scale or ScaleConfig()
+    override = int(os.environ.get("RAM_SPARK_SCORE_PARTS", "0"))
+    if override:
+        return override
+    sc = spr.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if scale.adaptive_scoring_partitions:
+        try:
+            est = estimate_block_pairs(spr, cad, ["HOUSE_NORM", "BUILDING_NORM"])
+            return min(max(-(-est // scale.pairs_per_partition), cores), 65536)
+        except Exception:  # estimate is an optimization, never a failure mode
+            pass
+    return max(cores * 4, 8)
+
+
 def score_candidates(
     spr: DataFrame,
     cad: DataFrame,
@@ -120,17 +171,7 @@ def score_candidates(
     # (repeated block strings) — left alone, the CPU-bound Python stage
     # collapses onto 1-2 partitions and runs serially. A user-specified
     # partition count is exempt from AQE coalescing.
-    import os
-
-    sc = spr.sparkSession.sparkContext
-    # 4x cores: CPU-bound Python stages tail-balance best here — measured
-    # 311k pairs/s vs 251k at 2x and 250k at 8x on the same 10.2M-pair
-    # job (per-partition kernel cost is skewed by block sizes and batch
-    # cache-hit rates; beyond 4x the smaller Arrow batches cost more than
-    # the balance buys). RAM_SPARK_SCORE_PARTS overrides for experiments.
-    n_part = int(os.environ.get("RAM_SPARK_SCORE_PARTS", "0")) or max(
-        sc.defaultParallelism * 4, 8
-    )
+    n_part = _scoring_partitions(spr, cad, scale)
     to_score = to_score.repartition(n_part, "ADDRESS_ID_SPR")
     if scorer == "jw":
         from ..functions.similarity import jaro_winkler_udf

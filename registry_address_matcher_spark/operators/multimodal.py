@@ -158,14 +158,19 @@ def sample_video_frames(df: DataFrame, every_n: int = 10, decode_stub: bool = Tr
     return frames.mapInPandas(run, schema)
 
 
-def media_metadata_stats(df: DataFrame) -> DataFrame:
+def media_metadata_stats(df: DataFrame, numeric_cols: tuple[str, ...] = ()) -> DataFrame:
     """Metadata-only aggregate — must NOT read the payload column (column
     pruning keeps the binary out of the scan; asserted in tests via the
-    physical plan's ReadSchema)."""
-    return df.groupBy("kind").agg(
+    physical plan's ReadSchema). ``numeric_cols`` adds avg/max per typed
+    metadata column (width, duration, ...)."""
+    aggs = [
         F.count(F.lit(1)).alias("n"),
-        F.avg(F.length("mime")).alias("avg_mime_len"),
-    )
+        F.round(F.avg(F.length("mime")), 6).alias("avg_mime_len"),
+    ]
+    for c in numeric_cols:
+        aggs.append(F.round(F.avg(c), 6).alias(f"avg_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy("kind").agg(*aggs)
 
 
 def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:

@@ -130,7 +130,10 @@ def exact_content_pairs(norm: DataFrame) -> DataFrame:
 
 
 def candidate_block_pairs(
-    norm: DataFrame, cfg: ReposMatchConfig, scale: ScaleConfig | None = None
+    norm: DataFrame,
+    cfg: ReposMatchConfig,
+    scale: ScaleConfig | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Blocking: (lang, MinHash band bucket) — skew-salted equi-self-join.
 
@@ -153,6 +156,7 @@ def candidate_block_pairs(
             num_perm=cfg.num_perm,
             seed=cfg.seed,
             hash_mode=cfg.hash_mode,
+            n_docs=n_docs,
         )
         .join(norm.select(F.col("file_id").alias("id"), "lang"), "id")
         .select("id", "lang", "sig")
@@ -232,14 +236,29 @@ def phonetic_stem_pairs(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
     )
 
 
-def score_pairs(pairs: DataFrame, norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
+def score_pairs(
+    pairs: DataFrame,
+    norm: DataFrame,
+    cfg: ReposMatchConfig,
+    n_pairs: int | None = None,
+    pairs_per_partition: int = 4_000,
+) -> DataFrame:
     """Pairwise scoring: native shingle-Jaccard (token-set similarity) +
     one Arrow pass of Jaro-Winkler on path stems. Returns scored pairs
     with block context for lineage.
 
     ``pairs`` carries ids only; shingles and stems are attached here by
     joining ``norm`` (shingling is a native expression — cheaper to
-    recompute than to checkpoint per-pair)."""
+    recompute than to checkpoint per-pair).
+
+    The Jaccard/JW compute is the job's CPU core; its input is explicitly
+    repartitioned because AQE sizes post-shuffle partitions by COMPRESSED
+    bytes and shingle arrays of similar code compress so well that the
+    heavy array-intersection stage would otherwise collapse onto a few
+    tasks (the round-2 repos job scaled at 0.59 for exactly this reason).
+    ``n_pairs`` (caller-known, e.g. from a persisted pair count) keeps the
+    partition SIZE constant across cluster sizes; unknown count falls
+    back to 4 x cores."""
     from .operators.dedup import ngram_shingles
 
     side = norm.select(
@@ -265,6 +284,12 @@ def score_pairs(pairs: DataFrame, norm: DataFrame, cfg: ReposMatchConfig) -> Dat
             "id_r",
         )
     )
+    cores = pairs.sparkSession.sparkContext.defaultParallelism
+    if n_pairs is not None:
+        n_part = min(max(-(-n_pairs // pairs_per_partition), cores), 65536)
+    else:
+        n_part = max(cores * 4, 8)
+    p = p.repartition(n_part, "id_l", "id_r")
     p = p.withColumn("jaccard", jaccard_col(F.col("sh_l"), F.col("sh_r")))
     p = p.withColumn("jw", jaro_winkler_udf(F.col("stem_l"), F.col("stem_r")))
     p = p.withColumn(

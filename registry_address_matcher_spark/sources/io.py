@@ -44,7 +44,11 @@ def read_registry(spark: SparkSession, source: str, **opts) -> DataFrame:
     if kind == "csv":
         return spark.read.option("header", True).csv(rest)
     if kind == "jdbc":
-        return spark.read.format("jdbc").option("url", rest).options(**opts).load()
+        # JDBC urls keep their full "jdbc:vendor:..." form — the kind
+        # prefix IS part of the url, unlike the other source kinds
+        # (first exercised by the stub-driver smoke test, which caught
+        # this path passing a jdbc: -stripped url to the driver manager)
+        return spark.read.format("jdbc").option("url", source).options(**opts).load()
     if kind == "table":
         return spark.read.table(rest)
     if kind == "rest":

@@ -107,3 +107,41 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters: [", 1)[1][:120]
     assert "lang" in seg  # the lang predicate prunes at listing time
+
+
+def test_ann_literal_trees_bounded_at_production_dims(spark):
+    """Round-2 scale landmine: element-wise literal arrays made the plan
+    O(k x dim) / O(bits x tables x dim) Catalyst nodes — minutes of
+    analysis and codegen fallback at production dims. With one array
+    literal per plane/centroid the plan must BUILD in seconds at
+    dim=1024 with k=64 centroids and 12-bit x 8-table LSH."""
+    import time
+
+    import numpy as np
+
+    from registry_address_matcher_spark.operators.ann import topk_ivf, topk_lsh
+
+    dim = 1024
+    emb = spark.range(6).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.col("id") + i).cast("double") / dim,
+        ).alias("embedding"),
+    )
+    probes = emb.limit(2)
+    cents = np.random.RandomState(7).randn(64, dim)
+
+    t0 = time.time()
+    plan_ivf = _plan(topk_ivf(emb, probes, "vec_id", "embedding", cents, k=3, nprobe=2))
+    plan_lsh = _plan(
+        topk_lsh(emb, probes, "vec_id", "embedding", k=3, n_bits=12, n_tables=8, dim=dim)
+    )
+    dt = time.time() - t0
+    assert dt < 30, f"plan build took {dt:.1f}s — literal tree re-grew"
+    for plan in (plan_ivf, plan_lsh):
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+    # and the plans execute (codegen path, not just analysis)
+    rows = topk_ivf(emb, probes, "vec_id", "embedding", cents, k=3, nprobe=2).collect()
+    assert len(rows) > 0

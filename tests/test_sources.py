@@ -102,3 +102,31 @@ def test_read_rest_max_rows_cap(spark):
     with pytest.raises(ValueError, match="max_rows"):
         read_rest(spark, "http://x/endless", fetcher=endless, page_size=100,
                   max_rows=250)
+
+
+def test_jdbc_scan_via_stub_driver():
+    """S1 executed end-to-end: compile the in-process stub JDBC driver
+    (tests/resources/stubjdbc) and run spark.read.format('jdbc') against
+    it in a fresh subprocess JVM (extraClassPath must precede JVM start).
+    Covers: DriverManager registration, Spark's WHERE 1=0 schema probe,
+    type mapping (BIGINT/VARCHAR/DOUBLE), and row iteration."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    here = os.path.dirname(__file__)
+    src = os.path.join(here, "resources", "stubjdbc", "StubDriver.java")
+    with tempfile.TemporaryDirectory() as d:
+        subprocess.run(["javac", "-d", d, src], check=True, capture_output=True)
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "resources", "jdbc_smoke_worker.py"), d],
+            capture_output=True, text=True, timeout=300,
+            cwd=os.path.dirname(here),
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        got = json.loads(line)
+    assert got["schema"] == ["id", "name", "val"]
+    assert got["rows"] == [[i, f"name-{i}", i * 1.5] for i in range(7)]
