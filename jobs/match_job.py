@@ -86,10 +86,16 @@ def main(argv: list[str] | None = None) -> int:
         return out
 
     norm = timed("normalize", lambda: normalize_repos(repos))
-    assert_unique_file_ids(norm)  # (repo, path, commit) must be a key
+    n_files = assert_unique_file_ids(norm)  # (repo, path, commit) must be a key
     exact = timed("exact", lambda: exact_content_pairs(norm))
-    cand = timed("blocking", lambda: candidate_block_pairs(norm, cfg, scale))
-    scored = timed("scoring", lambda: score_pairs(cand, norm, cfg))
+    cand = timed(
+        "blocking", lambda: candidate_block_pairs(norm, cfg, scale, n_docs=n_files)
+    )
+    # the blocking stage is snapshot-materialized by run_stage, so this
+    # count reads the checkpoint — it sizes the scoring partitions at a
+    # constant pairs-per-partition across cluster sizes
+    n_cand = cand.count()
+    scored = timed("scoring", lambda: score_pairs(cand, norm, cfg, n_pairs=n_cand))
     accepted = timed("accepted", lambda: accepted_pairs(scored, cfg))
     all_pairs = accepted.unionByName(
         exact.select("id_l", "id_r", F.col("score"), "match_type")

@@ -54,15 +54,16 @@ class ScaleConfig:
     cc_checkpoint_interval: int = 1
     cc_max_iterations: int = 50
     # -- CPU-bound Arrow-stage partitioning ---------------------------------
-    # Target candidate pairs per scoring partition. ~250k pairs/partition is
-    # the measured sweet spot for the 4-scorer kernel (bigger -> better
-    # Arrow batch amortization and pair-cache hit rates; smaller -> better
-    # tail balance). The scoring stage derives its partition count as
-    # clamp(ceil(pairs / target), cores, 65536) from a cheap pre-aggregate
-    # over the block keys — the SAME partition size at every cluster size,
-    # so throughput scales with cores instead of batch-efficiency shifting
-    # under the measurement.
-    pairs_per_partition: int = 250_000
+    # Target candidate pairs per scoring partition. ~320k pairs/partition
+    # is the measured sweet spot for the 4-scorer kernel (10.2M-pair job,
+    # 8 cores: 32 partitions 33.1 s vs 48 partitions 35.2 s vs 41
+    # partitions 45.3 s — bigger batches amortize the Arrow crossing and
+    # pair-cache better; the count is also rounded up to whole scheduling
+    # waves, see partitioning.py). The scoring stage derives the count
+    # from a cheap pre-aggregate over the block keys — the SAME partition
+    # size at every cluster size, so throughput scales with cores instead
+    # of batch-efficiency shifting under the measurement.
+    pairs_per_partition: int = 320_000
     # Estimate the pair count with one small aggregate action at plan-build
     # time (the aggregates are over block-key counts, not the data).
     # False -> fall back to 4 x defaultParallelism partitions.

@@ -216,7 +216,9 @@ def minhash_signatures(
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
     if n_docs is not None:
-        n_part = min(max(-(-n_docs // docs_per_partition), cores), 65536)
+        from ..partitioning import cpu_stage_partitions
+
+        n_part = cpu_stage_partitions(n_docs, docs_per_partition, cores)
     else:
         n_part = max(cores * 4, 8)
     base = df.select(

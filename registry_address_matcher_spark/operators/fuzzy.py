@@ -104,16 +104,22 @@ def estimate_block_pairs(spr: DataFrame, cad: DataFrame, keys: list[str]) -> int
 def _scoring_partitions(spr: DataFrame, cad: DataFrame, scale: ScaleConfig | None) -> int:
     """Partition count for the CPU-bound Arrow scoring stage.
 
-    Adaptive (default): clamp(ceil(pairs / pairs_per_partition), cores,
-    65536) from a cheap block-key-count estimate. Keeping the PARTITION
-    SIZE constant (~250k pairs) across cluster sizes is what makes
-    throughput scale with cores — a cores-derived count changes the Arrow
-    batch size under the measurement (round-2 regression: 4 x cores gave
-    128 undersized partitions at 32 cores and 3.14 s -> 4.61 s on the
-    identical sf0.1 input). Fallback when adaptation is disabled or the
-    estimate fails: 4 x cores. ``RAM_SPARK_SCORE_PARTS`` overrides both.
+    Adaptive (default): ceil(pairs / pairs_per_partition) rounded up to a
+    whole number of scheduling waves, from a cheap block-key-count
+    estimate (~1-2 s at 600k probe rows, exact — it is the same
+    sum-of-products the join performs). Keeping the PARTITION SIZE
+    constant (~250k pairs) across cluster sizes is what makes throughput
+    scale with cores — a cores-derived count changes the Arrow batch size
+    under the measurement (round-2 regression: 4 x cores gave 128
+    undersized partitions at 32 cores and 3.14 s -> 4.61 s on the
+    identical sf0.1 input); wave rounding avoids a ragged last wave
+    (see partitioning.cpu_stage_partitions). Fallback when adaptation is
+    disabled or the estimate fails: 4 x cores. ``RAM_SPARK_SCORE_PARTS``
+    overrides both.
     """
     import os
+
+    from ..partitioning import cpu_stage_partitions
 
     scale = scale or ScaleConfig()
     override = int(os.environ.get("RAM_SPARK_SCORE_PARTS", "0"))
@@ -124,7 +130,7 @@ def _scoring_partitions(spr: DataFrame, cad: DataFrame, scale: ScaleConfig | Non
     if scale.adaptive_scoring_partitions:
         try:
             est = estimate_block_pairs(spr, cad, ["HOUSE_NORM", "BUILDING_NORM"])
-            return min(max(-(-est // scale.pairs_per_partition), cores), 65536)
+            return cpu_stage_partitions(est, scale.pairs_per_partition, cores)
         except Exception:  # estimate is an optimization, never a failure mode
             pass
     return max(cores * 4, 8)

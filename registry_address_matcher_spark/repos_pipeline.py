@@ -96,9 +96,11 @@ def normalize_repos(df: DataFrame) -> DataFrame:
     )
 
 
-def assert_unique_file_ids(norm: DataFrame) -> None:
+def assert_unique_file_ids(norm: DataFrame) -> int:
     """(repo, path, commit) is the input's primary key — enforce it, since
-    every downstream join fans out on collisions. One aggregate action."""
+    every downstream join fans out on collisions. One aggregate action.
+    Returns the row count (callers reuse it as the ``n_docs`` partition
+    hint instead of paying a second action)."""
     row = norm.agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("file_id").alias("d")
     ).collect()[0]
@@ -107,6 +109,7 @@ def assert_unique_file_ids(norm: DataFrame) -> None:
             f"duplicate (repo, path, commit) rows: {row['n']} rows, "
             f"{row['d']} distinct file_ids"
         )
+    return int(row["n"])
 
 
 def exact_content_pairs(norm: DataFrame) -> DataFrame:
@@ -286,7 +289,9 @@ def score_pairs(
     )
     cores = pairs.sparkSession.sparkContext.defaultParallelism
     if n_pairs is not None:
-        n_part = min(max(-(-n_pairs // pairs_per_partition), cores), 65536)
+        from .partitioning import cpu_stage_partitions
+
+        n_part = cpu_stage_partitions(n_pairs, pairs_per_partition, cores)
     else:
         n_part = max(cores * 4, 8)
     p = p.repartition(n_part, "id_l", "id_r")

@@ -87,3 +87,18 @@ def test_salting_preserves_join_semantics(spark):
             cold[key].sort_values(key).reset_index(drop=True)
         )
     )
+
+
+def test_cpu_stage_partitions_policy():
+    """Whole scheduling waves, constant partition size, clamped."""
+    from registry_address_matcher_spark.partitioning import cpu_stage_partitions
+
+    # 10.2M pairs at 320k target -> 32 partitions at 2 AND 8 cores
+    assert cpu_stage_partitions(10_206_060, 320_000, 8) == 32
+    assert cpu_stage_partitions(10_206_060, 320_000, 2) == 32
+    # ragged counts round UP to a full wave (41 -> 48 at 8 cores)
+    assert cpu_stage_partitions(41 * 250_000, 250_000, 8) == 48
+    # tiny inputs still occupy every core once
+    assert cpu_stage_partitions(10, 320_000, 8) == 8
+    # cap
+    assert cpu_stage_partitions(10**12, 100, 8, cap=65536) == 65536
