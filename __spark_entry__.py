@@ -1055,13 +1055,19 @@ cand AS (
     SELECT * FROM band_pairs UNION ALL SELECT * FROM skel_pairs
   )
 ),
+hsets AS (
+  -- scoring runs over HASHED shingle sets (same 60-bit md5 mod p as the
+  -- Spark side) — identical sets in both engines, so jaccard matches
+  -- exactly even through hash collisions
+  SELECT id, path_stem, list_distinct(h) AS hs FROM hx
+),
 scored AS (
   SELECT c.id_l, c.id_r,
-         CASE WHEN len(list_distinct(a.shingles || b.shingles)) = 0 THEN 1.0
-              ELSE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                   / len(list_distinct(a.shingles || b.shingles)) END AS jac,
+         CASE WHEN len(list_distinct(a.hs || b.hs)) = 0 THEN 1.0
+              ELSE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                   / len(list_distinct(a.hs || b.hs)) END AS jac,
          jaro_winkler_similarity(a.path_stem, b.path_stem) AS jw
-  FROM cand c JOIN sh a ON a.id = c.id_l JOIN sh b ON b.id = c.id_r
+  FROM cand c JOIN hsets a ON a.id = c.id_l JOIN hsets b ON b.id = c.id_r
 ),
 accepted AS (
   SELECT id_l, id_r FROM scored

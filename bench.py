@@ -330,6 +330,7 @@ def run_scaling(
     replicate: int = 60,
     repos_base: int = 36000,
     repeats_hi: int | None = None,
+    pair_json: str | None = None,
 ) -> None:
     """North-rule scaling evidence: identical job, two parallelism levels.
 
@@ -344,12 +345,18 @@ def run_scaling(
     and the wall gap is scheduling, not algorithm."""
     lo, hi = levels
     n_hi = repeats_hi if repeats_hi is not None else repeats * 2
-    results = {
-        lo: _best_of(["--scaling-worker", "--cores", str(lo), "--sf-dir", sf_dir,
-                      "--replicate", str(replicate)], repeats, "pairs_per_sec"),
-        hi: _best_of(["--scaling-worker", "--cores", str(hi), "--sf-dir", sf_dir,
-                      "--replicate", str(replicate)], n_hi, "pairs_per_sec"),
-    }
+    if pair_json:
+        # reuse pair-job measurements from a previous run's printed JSON
+        # ("levels" object) — lets the (long) repos half be re-measured
+        # alone after a repos-only change
+        results = {int(k): v for k, v in json.loads(pair_json).items()}
+    else:
+        results = {
+            lo: _best_of(["--scaling-worker", "--cores", str(lo), "--sf-dir", sf_dir,
+                          "--replicate", str(replicate)], repeats, "pairs_per_sec"),
+            hi: _best_of(["--scaling-worker", "--cores", str(hi), "--sf-dir", sf_dir,
+                          "--replicate", str(replicate)], n_hi, "pairs_per_sec"),
+        }
     thr_lo = results[lo]["pairs_per_sec"]
     thr_hi = results[hi]["pairs_per_sec"]
     ratio = hi / lo
@@ -410,6 +417,12 @@ wall time 1.3-3x, and a {hi}-core run needs {hi} simultaneously free
 cores while a {lo}-core run rarely waits — single-shot wall ratios are
 therefore systematically biased AGAINST the high level. cpu_seconds
 (process-tree user+sys, steal-immune) quantify the true compute per run.
+A second local-mode bias works the same direction: local[{lo}] caps TASK
+slots, not JVM threads — GC/shuffle/netty helpers still use the box's
+32 CPUs, so the {lo}-core baseline effectively exceeds {lo} cores
+(visible as cpu_util > 1.0 in its row), flattering the denominator of
+the ratio. Real clusters run executors in separate JVMs whose helper
+threads are bounded per executor.
 
 Reference single-thread baseline: ~500 records/sec fuzzy estimate
 (`/root/reference/address.py:1062`); this engine scores
@@ -498,11 +511,14 @@ def main() -> None:
                     help="repos scaling job: synthetic base-file count (3 files each)")
     ap.add_argument("--repeats", type=int, default=2,
                     help="low-level repeats; the high level runs 2x this")
+    ap.add_argument("--pair-json", default=None,
+                    help="reuse pair-job results (the 'levels' JSON object)")
     args = ap.parse_args()
     if args.scaling:
         levels = tuple(int(x) for x in args.levels.split(","))
         run_scaling(args.sf_dir, levels=levels, repeats=args.repeats,
-                    replicate=args.replicate, repos_base=args.repos_base)
+                    replicate=args.replicate, repos_base=args.repos_base,
+                    pair_json=args.pair_json)
         return
     if args.scaling_worker:
         print(json.dumps(run_scaling_job(args.sf_dir, args.cores, args.replicate)))

@@ -150,7 +150,7 @@ def candidate_block_pairs(
     # would otherwise re-run the Arrow kernel once per plan branch — a
     # lazy persist() does not help when the branches run inside the same
     # first action
-    sigs = (
+    sigs_plan = (
         minhash_signatures(
             norm.select(F.col("file_id").alias("id"), "lang", "content_norm"),
             "id",
@@ -163,8 +163,24 @@ def candidate_block_pairs(
         )
         .join(norm.select(F.col("file_id").alias("id"), "lang"), "id")
         .select("id", "lang", "sig")
-        .localCheckpoint()
     )
+    # materialize the two independent checkpoints CONCURRENTLY: each is a
+    # driver-synchronous barrier whose task tail leaves cores idle;
+    # submitting both jobs at once lets the scheduler interleave their
+    # tasks into each other's tails (localCheckpoint from two Python
+    # threads is two independent Spark jobs — supported and safe)
+    keyed_plan = (
+        _phonetic_keyed(norm, cfg) if cfg.phonetic_blocking else None
+    )
+    if keyed_plan is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            f_sigs = ex.submit(sigs_plan.localCheckpoint)
+            f_keyed = ex.submit(keyed_plan.localCheckpoint)
+            sigs, keyed = f_sigs.result(), f_keyed.result()
+    else:
+        sigs, keyed = sigs_plan.localCheckpoint(), None
     r = cfg.num_perm // cfg.bands
 
     def band_key(b):
@@ -196,19 +212,19 @@ def candidate_block_pairs(
         .filter(F.col("id_l") < F.col("id_r"))
         .select("lang", "id_l", "id_r")
     )
-    if cfg.phonetic_blocking:
-        pairs = pairs.unionByName(
-            phonetic_stem_pairs(norm, cfg)
-        )
+    if keyed is not None:
+        pairs = pairs.unionByName(_phonetic_pairs_from_keyed(keyed, cfg))
     return pairs.dropDuplicates(["id_l", "id_r"])
 
 
-def phonetic_stem_pairs(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
-    """Candidates from (lang, phonetic key of the path stem) blocks — the
-    north star's soundex/metaphone name-token keys (kind="metaphone"), or
-    the SQL-portable consonant skeleton (kind="skeleton"). Blocks above
-    ``phonetic_block_cap`` files are dropped entirely (deterministically):
-    ubiquitous stems are quadratic noise."""
+def _phonetic_keyed(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
+    """(id, lang, pkey) plan for the phonetic blocking path. Callers must
+    materialize it (localCheckpoint) before the double reference below:
+    the tiny table is referenced twice (block-size agg + join-back) and
+    metaphone's Arrow kernel re-running per branch over the full corpus
+    measurably ANTI-scales in local mode (concurrent Python workers
+    saturate the loopback; observed 8-core runs 2x slower than 2-core
+    before this materialization)."""
     from .functions.phonetic import phonetic_block_key, skeleton_key
 
     pkey = (
@@ -216,17 +232,13 @@ def phonetic_stem_pairs(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
         if cfg.phonetic_kind == "skeleton"
         else phonetic_block_key(F.col("path_stem"))
     )
-    # eager checkpoint, same reason as the MinHash signatures: this tiny
-    # (id, lang, pkey) table is referenced TWICE below (block-size agg +
-    # join-back), and metaphone's Arrow kernel re-running per branch over
-    # the full corpus measurably ANTI-scales in local mode (concurrent
-    # Python workers saturate the loopback; observed 8-core runs 2x
-    # slower than 2-core before this materialization)
-    keyed = (
+    return (
         norm.select(F.col("file_id").alias("id"), "lang", pkey.alias("pkey"))
         .filter(F.col("pkey") != "")
-        .localCheckpoint()
     )
+
+
+def _phonetic_pairs_from_keyed(keyed: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
     sizes = keyed.groupBy("lang", "pkey").agg(F.count(F.lit(1)).alias("n"))
     ok = sizes.filter(F.col("n") <= cfg.phonetic_block_cap).select("lang", "pkey")
     keyed = keyed.join(F.broadcast(ok), ["lang", "pkey"])
@@ -236,6 +248,17 @@ def phonetic_stem_pairs(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
         left.join(right, ["lang", "pkey"])
         .filter(F.col("id_l") < F.col("id_r"))
         .select("lang", "id_l", "id_r")
+    )
+
+
+def phonetic_stem_pairs(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
+    """Candidates from (lang, phonetic key of the path stem) blocks — the
+    north star's soundex/metaphone name-token keys (kind="metaphone"), or
+    the SQL-portable consonant skeleton (kind="skeleton"). Blocks above
+    ``phonetic_block_cap`` files are dropped entirely (deterministically):
+    ubiquitous stems are quadratic noise."""
+    return _phonetic_pairs_from_keyed(
+        _phonetic_keyed(norm, cfg).localCheckpoint(), cfg
     )
 
 
@@ -268,12 +291,26 @@ def score_pairs(
     ``n_pairs`` (caller-known, e.g. from a persisted pair count) keeps the
     partition SIZE constant across cluster sizes; unknown count falls
     back to 4 x cores."""
-    from .operators.dedup import ngram_shingles
+    from .operators.dedup import _MERSENNE, cross_hash60, ngram_shingles
 
+    # Jaccard runs over HASHED shingle sets (array<long>), not strings:
+    # primitive long arrays allocate ~7x less than 500-element string
+    # arrays (string-shingle GC inflated the stage's CPU ~50% under
+    # 8-way concurrency in one JVM) and intersect faster. md5 mode hashes
+    # with the cross-engine 60-bit md5 (mod p) so the DuckDB twin sees
+    # the IDENTICAL sets — collisions (~1e-4/doc at 2^31) shrink both
+    # sides' sets identically, so jaccard still matches exactly.
+    sh_raw = ngram_shingles(F.col("content_norm"), cfg.shingle_n)
+    if cfg.hash_mode == "md5":
+        sh_h = F.array_distinct(
+            F.transform(sh_raw, lambda s: cross_hash60(s) % F.lit(_MERSENNE))
+        )
+    else:
+        sh_h = F.array_distinct(F.transform(sh_raw, lambda s: F.xxhash64(s)))
     side = norm.select(
         F.col("file_id"),
         F.col("path_stem"),
-        ngram_shingles(F.col("content_norm"), cfg.shingle_n).alias("sh"),
+        sh_h.alias("sh"),
     )
     if checkpoint_side:
         side = side.localCheckpoint()
