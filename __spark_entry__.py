@@ -736,7 +736,12 @@ def _ensure_media_fixture() -> str:
         ]
     )
     os.makedirs(os.path.dirname(_MEDIA_FIXTURE), exist_ok=True)
-    tmp = _MEDIA_FIXTURE + ".tmp"
+    # pid-unique tmp name: the driver runs oracle_sql and the Spark query
+    # in separate processes, so two first-runs can race — a SHARED tmp
+    # path would let interleaved writes publish a corrupt parquet via
+    # os.replace (ADVICE r3). os.replace itself is atomic, and the data
+    # is deterministic, so last-writer-wins is safe.
+    tmp = f"{_MEDIA_FIXTURE}.{os.getpid()}.tmp"
     pq.write_table(pa.table(rows, schema=schema), tmp)
     os.replace(tmp, _MEDIA_FIXTURE)
     return _MEDIA_FIXTURE

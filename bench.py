@@ -47,7 +47,14 @@ def _tree_cpu_seconds() -> float:
     inflates WALL time on this shared box by 2-4x in bursts and hits
     high-core-count runs hardest (an 8-core run needs 8 free cores at
     once; a 2-core run rarely waits). Used as supporting evidence next to
-    the wall-clock scaling ratios."""
+    the wall-clock scaling ratios.
+
+    Known limitation: a descendant that dies AND is reparented to init
+    between the before/after samples (orphaned grandchildren) never folds
+    its utime into this process's cutime, slightly understating the
+    delta. Spark's executor/worker processes live for the whole timed
+    region here, so the loss is the odd short-lived helper — acceptable
+    for supporting evidence."""
     me = os.getpid()
     ppid_of: dict[int, int] = {}
     stat_of: dict[int, list[str]] = {}
@@ -78,6 +85,16 @@ def _tree_cpu_seconds() -> float:
             # the parent, live ones have their own /proc entry)
             total += (int(t[11]) + int(t[12]) + int(t[13]) + int(t[14])) / tck
     return total
+
+
+def _master_for(cores: int | None, executors: int | None, exec_mem_mb: int = 6144) -> str | None:
+    """Scaling runs use local-cluster[N,1,mem] — N REAL executor JVMs
+    (separate processes, own heaps/GC, per-executor Python workers), the
+    honest in-sandbox stand-in for N cluster executors. Thread-local
+    local[N] remains for the absolute e2e bench."""
+    if executors:
+        return f"local-cluster[{executors},1,{exec_mem_mb}]"
+    return f"local[{cores}]" if cores else None
 
 
 def run_bench(sf_dir: str, cores: int | None) -> dict:
@@ -192,7 +209,9 @@ def run_bench(sf_dir: str, cores: int | None) -> dict:
     return result
 
 
-def run_scaling_job(sf_dir: str, cores: int | None, replicate: int = 60) -> dict:
+def run_scaling_job(
+    sf_dir: str, cores: int | None, replicate: int = 60, executors: int | None = None
+) -> dict:
     """The scaling measurement: the blocked pairwise-scoring stage (block
     join + Arrow 4-scorer kernel + per-pair best) over a probe side
     replicated ``replicate``x with per-replica street mutations.
@@ -210,7 +229,7 @@ def run_scaling_job(sf_dir: str, cores: int | None, replicate: int = 60) -> dict
     from registry_address_matcher_spark.operators.preprocess import preprocess_registry
     import __spark_entry__ as E
 
-    master = f"local[{cores}]" if cores else None
+    master = _master_for(cores, executors)
     spark = get_spark("ram-spark-scaling", master=master)
     spr_raw = E._spr(spark, sf_dir)
     cad = preprocess_registry(E._cad(spark, sf_dir)).persist()
@@ -227,7 +246,7 @@ def run_scaling_job(sf_dir: str, cores: int | None, replicate: int = 60) -> dict
     n_probe = spr_rep.count()
     cad.count()
 
-    ncores = cores or os.cpu_count()
+    ncores = executors or cores or os.cpu_count()
     c0 = _tree_cpu_seconds()
     t0 = time.time()
     scored = score_candidates(spr_rep, cad)
@@ -252,7 +271,9 @@ def run_scaling_job(sf_dir: str, cores: int | None, replicate: int = 60) -> dict
     return out
 
 
-def run_repos_scaling_job(cores: int | None, n_base: int = 24000) -> dict:
+def run_repos_scaling_job(
+    cores: int | None, n_base: int = 24000, executors: int | None = None
+) -> dict:
     """North-rule job proper at one parallelism level: synthetic repos
     table -> normalize -> MinHash blocking -> shingle-Jaccard + JW
     scoring. Aggregates OVER the scores so nothing prunes. Reports
@@ -270,13 +291,13 @@ def run_repos_scaling_job(cores: int | None, n_base: int = 24000) -> dict:
     from registry_address_matcher_spark.session import get_spark
     from registry_address_matcher_spark.synth import make_repos
 
-    master = f"local[{cores}]" if cores else None
+    master = _master_for(cores, executors)
     spark = get_spark("repos-scaling", master=master)
     repos, _ = make_repos(spark, n_base=n_base)
     norm = normalize_repos(repos).persist()
     n_files = norm.count()
     cfg = ReposMatchConfig()
-    ncores = cores or os.cpu_count()
+    ncores = executors or cores or os.cpu_count()
     c0 = _tree_cpu_seconds()
     t0 = time.time()
     pairs = candidate_block_pairs(norm, cfg, n_docs=n_files).persist()
@@ -299,6 +320,100 @@ def run_repos_scaling_job(cores: int | None, n_base: int = 24000) -> dict:
         "files_per_sec": round(n_files / dt, 1),
         "cpu_seconds": round(cpu, 1),
         "cpu_util": round(cpu / (dt * ncores), 3),
+    }
+    spark.stop()
+    return out
+
+
+def run_repos_stage_profile(
+    cores: int | None, n_base: int = 24000, executors: int | None = None
+) -> dict:
+    """Bisection tool for the repos-job scaling gap: run the pipeline's
+    stages SEQUENTIALLY (no concurrent checkpoints) with wall + process-
+    tree CPU sampled at every boundary. Comparing the per-stage cpu
+    columns of a 2-core vs an 8-core run localizes which stage's CPU
+    inflates at width (wall noise cancels out of the cpu columns)."""
+    from pyspark.sql import functions as F
+
+    from registry_address_matcher_spark.repos_pipeline import (
+        ReposMatchConfig,
+        _phonetic_keyed,
+        _phonetic_pairs_from_keyed,
+        normalize_repos,
+        score_pairs,
+        shingle_side,
+    )
+    from registry_address_matcher_spark.operators.blocking import salted_join
+    from registry_address_matcher_spark.operators.dedup import minhash_signatures
+    from registry_address_matcher_spark.session import get_spark
+    from registry_address_matcher_spark.synth import make_repos
+
+    master = _master_for(cores, executors)
+    spark = get_spark("repos-stage-profile", master=master)
+    repos, _ = make_repos(spark, n_base=n_base)
+    norm = normalize_repos(repos).persist()
+    n_files = norm.count()
+    cfg = ReposMatchConfig()
+    ncores = executors or cores or os.cpu_count()
+    stages: dict[str, dict] = {}
+
+    def stage(name, fn):
+        c0, t0 = _tree_cpu_seconds(), time.time()
+        out = fn()
+        stages[name] = {
+            "wall": round(time.time() - t0, 2),
+            "cpu": round(_tree_cpu_seconds() - c0, 1),
+        }
+        return out
+
+    sigs = stage("sigs_ckpt", lambda: (
+        minhash_signatures(
+            norm.select(F.col("file_id").alias("id"), "lang", "content_norm"),
+            "id", "content_norm", shingle_n=cfg.shingle_n,
+            num_perm=cfg.num_perm, seed=cfg.seed, hash_mode=cfg.hash_mode,
+            n_docs=n_files,
+        )
+        .join(norm.select(F.col("file_id").alias("id"), "lang"), "id")
+        .select("id", "lang", "sig").localCheckpoint()
+    ))
+    keyed = stage("phonetic_ckpt", lambda: _phonetic_keyed(norm, cfg).localCheckpoint())
+    r = cfg.num_perm // cfg.bands
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(F.slice(F.col("sig"), b * r + 1, r), lambda v: v.cast("string")),
+        )
+        return joined if cfg.hash_mode == "md5" else F.xxhash64(joined).cast("string")
+
+    banded = sigs.select(
+        "id", "lang",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(cfg.bands - 1)), band_key)
+        ).alias("band", "bucket"),
+    )
+    probe = banded.select("lang", "band", "bucket", F.col("id").alias("id_l"))
+    build = banded.select("lang", "band", "bucket", F.col("id").alias("id_r"))
+    band_pairs = (
+        salted_join(probe, build, ["lang", "band", "bucket"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("lang", "id_l", "id_r")
+        .unionByName(_phonetic_pairs_from_keyed(keyed, cfg))
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    pairs = band_pairs.persist()
+    n_pairs = stage("band_join", lambda: pairs.count())
+    side = stage("side_ckpt", lambda: shingle_side(norm, cfg).localCheckpoint())
+    scored = score_pairs(pairs, norm, cfg, n_pairs=n_pairs, side=side)
+    stage("score_agg", lambda: scored.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("score").alias("avg")).collect()[0])
+    out = {
+        "cores": ncores,
+        "files": n_files,
+        "pairs": n_pairs,
+        "stages": stages,
+        "total_cpu": round(sum(s["cpu"] for s in stages.values()), 1),
+        "total_wall": round(sum(s["wall"] for s in stages.values()), 2),
     }
     spark.stop()
     return out
@@ -494,9 +609,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--executors", type=int, default=None,
+                    help="run on local-cluster[N,1,mem] (real executor JVMs) instead of local[cores]")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-worker", action="store_true")
     ap.add_argument("--repos-scaling-worker", action="store_true")
+    ap.add_argument("--repos-stage-profile", action="store_true")
     ap.add_argument("--bench-worker", action="store_true")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--levels", default="2,8", help="two core counts, N and 4N")
@@ -521,10 +639,16 @@ def main() -> None:
                     pair_json=args.pair_json)
         return
     if args.scaling_worker:
-        print(json.dumps(run_scaling_job(args.sf_dir, args.cores, args.replicate)))
+        print(json.dumps(run_scaling_job(args.sf_dir, args.cores, args.replicate,
+                                         executors=args.executors)))
         return
     if args.repos_scaling_worker:
-        print(json.dumps(run_repos_scaling_job(args.cores, n_base=args.repos_base)))
+        print(json.dumps(run_repos_scaling_job(args.cores, n_base=args.repos_base,
+                                               executors=args.executors)))
+        return
+    if args.repos_stage_profile:
+        print(json.dumps(run_repos_stage_profile(args.cores, n_base=args.repos_base,
+                                                 executors=args.executors)))
         return
     cores = args.cores
     if cores is None and os.environ.get("SPARK_GRAFT_CPUS"):

@@ -88,8 +88,12 @@ def main(argv: list[str] | None = None) -> int:
     norm = timed("normalize", lambda: normalize_repos(repos))
     n_files = assert_unique_file_ids(norm)  # (repo, path, commit) must be a key
     exact = timed("exact", lambda: exact_content_pairs(norm))
+    trunc_reports: list = []
     cand = timed(
-        "blocking", lambda: candidate_block_pairs(norm, cfg, scale, n_docs=n_files)
+        "blocking",
+        lambda: candidate_block_pairs(
+            norm, cfg, scale, n_docs=n_files, truncation_reports=trunc_reports
+        ),
     )
     # the blocking stage is snapshot-materialized by run_stage, so this
     # count reads the checkpoint — it sizes the scoring partitions at a
@@ -107,6 +111,12 @@ def main(argv: list[str] | None = None) -> int:
     run_id = os.path.basename(run_dir.rstrip("/"))
     lineage = block_lineage(scored, ["lang"], "score", run_id, "scoring")
     catalog.append_snapshot(lineage, "lineage")
+    # capped blocks (quadratic-block guard) are never silent: each report
+    # lands in the same lineage sidecar with stage "blocking:truncated"
+    from registry_address_matcher_spark.plans.lineage import truncation_lineage
+
+    for rep in trunc_reports:
+        catalog.append_snapshot(truncation_lineage(rep, run_id, "blocking"), "lineage")
     counts = {
         "files": norm.count(),
         "exact_pairs": exact.count(),
@@ -118,6 +128,12 @@ def main(argv: list[str] | None = None) -> int:
         spark.createDataFrame([counts]), run_id, "run"
     )
     catalog.append_snapshot(metrics, "metrics")
+    # degraded-path runtime events (estimate fallbacks etc.) — never silent
+    from registry_address_matcher_spark.plans.events import drain_events_df
+
+    ev = drain_events_df(spark, run_id)
+    if ev is not None:
+        catalog.append_snapshot(ev, "metrics")
 
     ok = verify_sha_invariant(repos, clusters)
     summary = {

@@ -48,8 +48,12 @@ class ScaleConfig:
     # number of salt buckets for hot keys
     salt_buckets: int = 32
     # hard cap on candidate pairs emitted per block (quadratic-block guard);
-    # blocks exceeding it are truncated deterministically and recorded in lineage
-    max_pairs_per_block: int | None = None
+    # blocks exceeding it are truncated deterministically (skew-safe salted
+    # ranking, blocking.cap_block) and recorded in lineage. Default ON: an
+    # unguarded prefix/band block grows quadratically in the block's row
+    # count, and at 10^12 rows a single ubiquitous key would otherwise emit
+    # more pairs than the cluster can score. None disables (opt-out).
+    max_pairs_per_block: int | None = 1_000_000
     # localCheckpoint between connected-components iterations
     cc_checkpoint_interval: int = 1
     cc_max_iterations: int = 50

@@ -147,13 +147,27 @@ def asof_join_backward(
 
     # one summary row per (by, cell) PRESENT IN THE DATA (cells holding
     # only left rows must still receive a carry-in), with the cell's last
-    # right struct where one exists (max_by over (ts, tie), right rows)
+    # right struct where one exists (max_by over (ts, tie), right rows).
+    # Both carry joins below are NULL-SAFE on (by, __cell): a NULL by key
+    # is a real group (Window.partitionBy groups NULLs together in the
+    # single-window plan) and a NULL ts floors to a NULL __cell — plain
+    # equality would silently drop their carry-in and break the
+    # "identical to the single-window plan" contract (ADVICE r3).
+    def ns_cond(lhs: DataFrame, rhs: DataFrame) -> Column:
+        cond = lhs["__cell"].eqNullSafe(rhs["__cell"])
+        for c in by:
+            cond = cond & lhs[c].eqNullSafe(rhs[c])
+        return cond
+
     r_cells = (
         u.filter(F.col("__side") == 0)
         .groupBy(*by, "__cell")
         .agg(F.max_by("__r", F.struct("__ts", "__tie")).alias("__r_cell"))
     )
-    cells = u.select(*by, "__cell").distinct().join(r_cells, by + ["__cell"], "left")
+    dcells = u.select(*by, "__cell").distinct()
+    cells = dcells.join(r_cells, ns_cond(dcells, r_cells), "left").select(
+        *[dcells[c] for c in by], dcells["__cell"], r_cells["__r_cell"]
+    )
     # carry-in for each cell = last summary of any STRICTLY EARLIER cell;
     # this window runs over cell summaries (one row per distinct cell),
     # orders of magnitude smaller than the data
@@ -166,6 +180,8 @@ def asof_join_backward(
         "__carry_in", F.last("__r_cell", ignorenulls=True).over(w_carry)
     ).select(*by, "__cell", "__carry_in")
 
-    joined = seg.join(carry, by + ["__cell"], "left")
+    joined = seg.join(carry, ns_cond(seg, carry), "left").select(
+        *[seg[c] for c in seg.columns], carry["__carry_in"]
+    )
     carried = joined.withColumn("__rc", F.coalesce(F.col("__r_in"), F.col("__carry_in")))
     return _unpack(carried, by, ts_col, left_cols, value_cols, prefix, "__rc")

@@ -85,25 +85,45 @@ def cap_block(
     probe_id: str,
     build_id: str,
     max_pairs: int,
+    salt_buckets: int = 32,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministically truncate blocks that exceed ``max_pairs`` pairs.
 
-    Ordering inside a block is by (probe id, build id) hash so truncation
-    is stable across runs. Returns (kept_pairs, truncation_report) where
-    the report rows (block key, kept, dropped) feed the lineage sidecar.
+    Skew-safe by construction: a single window over the block key would
+    put the very mega-block this guard exists for into ONE task, so the
+    quota is instead split over ``salt_buckets`` deterministic hash salts
+    — the window partitions by (block, salt) and each salt keeps
+    ``max_pairs // S`` pairs (+1 for the first ``max_pairs %% S`` salts).
+    Kept count is therefore NEVER above ``max_pairs``; it can fall
+    slightly short when a block barely exceeds the cap and some salt
+    buckets run dry (bounded by the binomial spread of a uniform hash —
+    irrelevant for a guard). Ordering is by pair hash with the id pair as
+    tie-break, so truncation is stable across runs and cluster sizes.
+    Returns (kept_pairs, truncation_report); report rows
+    (block key, total_pairs, kept_pairs, dropped_pairs) feed
+    :func:`..plans.lineage.truncation_lineage` — truncation is never
+    silent.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*block_keys).orderBy(
-        F.xxhash64(F.col(probe_id), F.col(build_id))
+    s = max(1, min(salt_buckets, max_pairs))
+    h = F.xxhash64(F.col(probe_id), F.col(build_id))
+    ranked = pairs.withColumn("__cap_h", h).withColumn(
+        "__cap_salt", F.pmod(F.col("__cap_h"), F.lit(s)).cast("int")
     )
-    ranked = pairs.withColumn("__pair_rank", F.row_number().over(w))
-    kept = ranked.filter(F.col("__pair_rank") <= max_pairs).drop("__pair_rank")
+    quota = F.lit(max_pairs // s) + (F.col("__cap_salt") < F.lit(max_pairs % s)).cast("int")
+    w = Window.partitionBy(*block_keys, "__cap_salt").orderBy(
+        F.col("__cap_h"), F.col(probe_id), F.col(build_id)
+    )
+    ranked = ranked.withColumn("__cap_keep", F.row_number().over(w) <= quota)
+    kept = ranked.filter(F.col("__cap_keep")).drop("__cap_h", "__cap_salt", "__cap_keep")
     report = (
         ranked.groupBy(*block_keys)
-        .agg(F.count(F.lit(1)).alias("total_pairs"))
-        .filter(F.col("total_pairs") > max_pairs)
-        .withColumn("kept_pairs", F.lit(max_pairs))
-        .withColumn("dropped_pairs", F.col("total_pairs") - max_pairs)
+        .agg(
+            F.count(F.lit(1)).alias("total_pairs"),
+            F.sum(F.col("__cap_keep").cast("long")).alias("kept_pairs"),
+        )
+        .filter(F.col("total_pairs") > F.col("kept_pairs"))
+        .withColumn("dropped_pairs", F.col("total_pairs") - F.col("kept_pairs"))
     )
     return kept, report

@@ -11,7 +11,8 @@ MapReduce and Beyond", SoCC'14) expressed as DataFrame self-joins:
 * **small-star**: orient edges so u >= v; connect every neighbor (and u)
   to the minimum.
 
-Each iteration is two shuffles (window-min per node + projection);
+Each round computes the per-node min via skew-safe aggregate + join-back
+(see ``_node_min`` — no window, no single-task hub bound);
 ``localCheckpoint()`` truncates the lineage so the plan doesn't grow
 unboundedly; convergence is detected by an edge-set fingerprint
 (count + xor-hash), not driver-side collection of the edges themselves.
@@ -23,7 +24,7 @@ dependent only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ScaleConfig
@@ -40,20 +41,36 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
+def _node_min(b: DataFrame, n_part: int) -> DataFrame:
+    """Per-node neighborhood minimum m(u) = min(N(u) ∪ {u}), attached back
+    to every edge row: (src, dst, m).
+
+    Computed as ``groupBy(src).agg(min(dst))`` + equi-join-back, NOT
+    ``Window.partitionBy(src)``: as components collapse toward a star,
+    the component-min node's neighborhood approaches component size, so a
+    window would sort a billion rows in ONE task in the final iterations
+    of a billion-node component (Kiveris et al. §5's high-degree case).
+    The aggregate path is skew-safe — map-side partial aggregation
+    shrinks a hot node to one row per input partition before the shuffle,
+    the min table is one row per node, and the join-back is a plain
+    equi-join AQE can skew-split. The explicit ``repartition(n_part,
+    src)`` sizes the shuffle to the graph and is reused by both the
+    aggregate and the join probe side — the loop never touches session
+    conf (the round-1 version mutated spark.sql.shuffle.partitions
+    globally, racing any concurrent query on the session)."""
+    b = b.repartition(n_part, "src")
+    mins = b.groupBy("src").agg(F.min("dst").alias("_mn"))
+    return b.join(mins, "src").withColumn(
+        "m", F.least(F.col("_mn"), F.col("src"))
+    ).drop("_mn")
+
+
 def _large_star(edges: DataFrame, n_part: int) -> DataFrame:
     """Connect every larger neighbor to the node's minimum. Output may
     contain duplicates — the following small-star round dedups, saving a
-    shuffle per iteration.
-
-    The explicit ``repartition(n_part, src)`` both sizes the shuffle to
-    the graph AND satisfies the window's required distribution, so no
-    second exchange is inserted — the loop never touches session conf
-    (the round-1 version mutated spark.sql.shuffle.partitions globally,
-    racing any concurrent query on the session)."""
+    shuffle per iteration."""
     b = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    b = b.repartition(n_part, "src")
-    w = Window.partitionBy("src")
-    b = b.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
+    b = _node_min(b, n_part)
     return (
         b.filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
@@ -69,10 +86,7 @@ def _small_star(edges: DataFrame, n_part: int) -> DataFrame:
     o = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    o = o.repartition(n_part, "src")
-    w = Window.partitionBy("src")
-    o = o.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
-    nbr = o.select("src", "dst", "m")
+    nbr = _node_min(o, n_part)
     out = nbr.select(F.col("m").alias("src"), F.col("dst")).union(
         nbr.select(F.col("m").alias("src"), F.col("src").alias("dst"))
     )

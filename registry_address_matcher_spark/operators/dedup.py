@@ -221,11 +221,6 @@ def minhash_signatures(
         n_part = cpu_stage_partitions(n_docs, docs_per_partition, cores)
     else:
         n_part = max(cores * 4, 8)
-    mh = make_minhash_udf(num_perm, seed, params=(a, b))
-    base = df.select(
-        F.col(id_col).alias("id"), sh.alias("shingles"), hashed.alias("__h")
-    ).repartition(n_part, "id")
-    return base.select("id", "shingles", mh(F.col("__h")).alias("sig"))
     # Why the Arrow kernel and not a native expression: Spark evaluates
     # higher-order functions INTERPRETED (no whole-stage codegen), so the
     # "native" spellings are far slower than one vectorized numpy pass —
@@ -233,6 +228,11 @@ def minhash_signatures(
     # / 28 cpu-s; aggregate()-least fold 24 s / 181 cpu-s; transform()+
     # array_min 265 s / 2044 cpu-s (it also materializes one array per
     # permutation per doc). Same signatures in all three (verified).
+    mh = make_minhash_udf(num_perm, seed, params=(a, b))
+    base = df.select(
+        F.col(id_col).alias("id"), sh.alias("shingles"), hashed.alias("__h")
+    ).repartition(n_part, "id")
+    return base.select("id", "shingles", mh(F.col("__h")).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -403,59 +403,6 @@ def hyperplane_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     """Gaussian hyperplane matrix (n_bits x dim), seed-deterministic.
     Plan-build-time values — embeddable as literals in oracle SQL."""
     return np.random.RandomState(seed).randn(n_bits, dim)
-
-
-def array_lit(values) -> Column:
-    """ONE ``array<double>`` literal for a whole vector, built with a
-    single JVM-side parse. The obvious spellings are 100-1000x slower at
-    production dims: ``F.array(F.lit(x), ...)`` AND ``F.lit(list)`` (which
-    pyspark expands to the former) both issue one py4j round trip PER
-    ELEMENT — measured ~2 s per 1024-dim vector, minutes for k=256
-    centroids or 12-bit x 8-table LSH. One ``F.expr`` string parse costs
-    ~6 ms; ConstantFolding collapses the parsed array to a single Literal
-    node before physical planning. ``%.17e`` round-trips every IEEE
-    double exactly (exponent-form literals are DOUBLE-typed in Spark SQL),
-    so values are bit-identical to an external engine parsing ``repr``."""
-    return F.expr("array(" + ",".join(f"{float(x):.17e}" for x in values) + ")")
-
-
-def fold_dot_expr(vec_name: str, values) -> Column:
-    """``vec . literal`` as ONE JVM-side parse: the same sequential
-    aggregate/zip_with fold the lambda API builds (identical left-to-right
-    double summation, so cross-engine parity with list_dot_product holds),
-    but constructed with a single py4j call. The lambda spelling
-    (``F.aggregate(F.zip_with(...), lambda ...)``) costs ~100-300 ms of
-    py4j traffic PER FOLD — with k=256 centroids or 12-bit x 8-table LSH
-    that is minutes of driver time before Catalyst even starts."""
-    arr = ",".join(f"{float(x):.17e}" for x in values)
-    return F.expr(
-        f"aggregate(zip_with({vec_name}, array({arr}), (x, p) -> x * p), "
-        "0.0D, (acc, x) -> acc + x)"
-    )
-
-
-def hyperplane_bucket_col(vec_name: str, planes: np.ndarray) -> Column:
-    """Sign-bit LSH bucket as a NATIVE expression: per plane, a sequential
-    zip_with/aggregate dot-product fold (same left-to-right order as
-    DuckDB's list_dot_product — sign parity holds away from exact-zero
-    dots), then sum of 2^j over positive signs. Zero Python crossings;
-    whole-stage codegen keeps it in the scan stage.
-
-    NOTE — literal-embedded form: each plane folds over one array literal
-    parsed JVM-side (:func:`fold_dot_expr`), fine for oracle SQL twins and
-    small dims. At production dims the ANALYZER cost of the n_bits x dim
-    literal children is paid again on every DataFrame transformation —
-    the scale paths use :func:`hyperplane_tables_df` +
-    :func:`hyperplane_bucket_over` (planes as broadcast DATA, analysis
-    O(1)) which computes bit-identical buckets."""
-    bits = []
-    for j, row in enumerate(planes):
-        dot = fold_dot_expr(vec_name, row)
-        bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
 
 
 def dot_fold(vec: Column, other: Column) -> Column:

@@ -26,13 +26,24 @@ from ..operators.blocking import salted_join
 
 
 def multi_block_candidates(
-    spr: DataFrame, cad: DataFrame, scale: ScaleConfig | None = None
+    spr: DataFrame,
+    cad: DataFrame,
+    scale: ScaleConfig | None = None,
+    truncation_reports: list | None = None,
 ) -> DataFrame:
     """J6: union of four equi-join blocks, deduped on the id pair.
 
     Each block is an equi-join on a derived key column; the union is
     deduplicated on (spr_id, cad_id). Prefix keys use ``F.substring`` —
-    all JVM-side."""
+    all JVM-side.
+
+    Each block family is capped at ``scale.max_pairs_per_block`` pairs
+    per key (default on — the 2-char house / 3-char street prefix blocks
+    grow quadratically in block size; VERDICT r3 #4). Truncation is
+    deterministic and skew-safe (blocking.cap_block) and reported via
+    ``truncation_reports`` (pass a list to collect one report DataFrame
+    per block family, keyed (block_family, __bk)) for the lineage
+    sidecar."""
     scale = scale or ScaleConfig()
 
     def keyed(df: DataFrame, side: str) -> DataFrame:
@@ -46,15 +57,27 @@ def multi_block_candidates(
 
     s, c = keyed(spr, "s"), keyed(cad, "c")
     blocks = []
-    for expr_s, expr_c, guard in [
-        (F.col("street_s"), F.col("street_c"), F.col("street_s") != ""),
-        (F.col("house_s"), F.col("house_c"), F.col("house_s") != ""),
-        (F.substring("house_s", 1, 2), F.substring("house_c", 1, 2), F.col("house_s") != ""),
-        (F.substring("street_s", 1, 3), F.substring("street_c", 1, 3), F.col("street_s") != ""),
+    for family, expr_s, expr_c, guard in [
+        ("street", F.col("street_s"), F.col("street_c"), F.col("street_s") != ""),
+        ("house", F.col("house_s"), F.col("house_c"), F.col("house_s") != ""),
+        ("house2", F.substring("house_s", 1, 2), F.substring("house_c", 1, 2), F.col("house_s") != ""),
+        ("street3", F.substring("street_s", 1, 3), F.substring("street_c", 1, 3), F.col("street_s") != ""),
     ]:
         l = s.filter(guard).withColumn("__bk", expr_s)
         r = c.withColumn("__bk", expr_c).filter(F.col("__bk") != "")
-        blocks.append(salted_join(l, r, ["__bk"], scale).drop("__bk"))
+        joined = salted_join(l, r, ["__bk"], scale)
+        if scale.max_pairs_per_block is not None:
+            from .blocking import cap_block
+
+            joined, report = cap_block(
+                joined, ["__bk"], "id_s", "id_c",
+                scale.max_pairs_per_block, scale.salt_buckets,
+            )
+            if truncation_reports is not None:
+                truncation_reports.append(
+                    report.select(F.lit(family).alias("block_family"), "*")
+                )
+        blocks.append(joined.drop("__bk"))
     out = blocks[0]
     for b in blocks[1:]:
         out = out.unionByName(b)

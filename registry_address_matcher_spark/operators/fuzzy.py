@@ -131,8 +131,15 @@ def _scoring_partitions(spr: DataFrame, cad: DataFrame, scale: ScaleConfig | Non
         try:
             est = estimate_block_pairs(spr, cad, ["HOUSE_NORM", "BUILDING_NORM"])
             return cpu_stage_partitions(est, scale.pairs_per_partition, cores)
-        except Exception:  # estimate is an optimization, never a failure mode
-            pass
+        except Exception as exc:  # estimate is an optimization, never a failure mode
+            # ...but a silently non-adaptive run must be visible
+            # (VERDICT r3 #5): record to the metrics sidecar + WARN log
+            from ..plans.events import record_event
+
+            record_event(
+                "scoring", "adaptive_partition_estimate_failed",
+                f"{type(exc).__name__}; fell back to 4 x cores",
+            )
     return max(cores * 4, 8)
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .config import ScaleConfig
@@ -113,15 +113,25 @@ def assert_unique_file_ids(norm: DataFrame) -> int:
 
 
 def exact_content_pairs(norm: DataFrame) -> DataFrame:
-    """EXACT_FULL analogue: identical normalized content. Grouped by hash
-    (one shuffle), pairs emitted star-shaped against the group minimum —
-    O(group) edges instead of O(group^2), which is all connected
-    components needs for correctness."""
+    """EXACT_FULL analogue: identical normalized content. Pairs emitted
+    star-shaped against the group minimum — O(group) edges instead of
+    O(group^2), which is all connected components needs for correctness.
+
+    The group representative is computed with ``groupBy(h).agg(min)`` +
+    join-back, NOT a ``Window.partitionBy(h)``: a window puts every row
+    of one content group in ONE task, and at 10^12 files the ubiquitous-
+    content groups (empty files, license boilerplate — the classic
+    code-corpus skew) are hundred-million-row groups, i.e. one straggler
+    task holding the stage. The aggregate path is skew-safe (map-side
+    partial aggregation shrinks each hot group to one row per input
+    partition before the shuffle) and the join-back is a plain equi-join
+    AQE can skew-split. Plan shape pinned by
+    ``tests/test_repos_job.py::test_exact_content_pairs_skew_safe``."""
     h = norm.select(
         "file_id", F.sha2("content_norm", 256).alias("h")
     )
-    w = Window.partitionBy("h")
-    stars = h.withColumn("rep", F.min("file_id").over(w)).filter(
+    reps = h.groupBy("h").agg(F.min("file_id").alias("rep"))
+    stars = h.join(reps, "h").filter(
         F.col("file_id") != F.col("rep")
     )
     return stars.select(
@@ -137,12 +147,19 @@ def candidate_block_pairs(
     cfg: ReposMatchConfig,
     scale: ScaleConfig | None = None,
     n_docs: int | None = None,
+    truncation_reports: list | None = None,
 ) -> DataFrame:
     """Blocking: (lang, MinHash band bucket) — skew-salted equi-self-join.
 
     ``lang`` rides along as an explicit block key: it is the deliberately
     skewed column (half the corpus is one language), so the salting path
     is exercised on every real run.
+
+    Band blocks are capped at ``scale.max_pairs_per_block`` pairs
+    (default on — quadratic-block guard, VERDICT r3 #4); pass a list as
+    ``truncation_reports`` to receive the per-block truncation report
+    DataFrame for the lineage sidecar. The phonetic path needs no cap:
+    it drops blocks above ``cfg.phonetic_block_cap`` rows entirely.
     """
     scale = scale or ScaleConfig()
     # eager localCheckpoint: the signature output is scanned twice below
@@ -210,8 +227,17 @@ def candidate_block_pairs(
     pairs = (
         salted_join(probe, build, ["lang", "band", "bucket"], scale)
         .filter(F.col("id_l") < F.col("id_r"))
-        .select("lang", "id_l", "id_r")
     )
+    if scale.max_pairs_per_block is not None:
+        from .operators.blocking import cap_block
+
+        pairs, report = cap_block(
+            pairs, ["lang", "band", "bucket"], "id_l", "id_r",
+            scale.max_pairs_per_block, scale.salt_buckets,
+        )
+        if truncation_reports is not None:
+            truncation_reports.append(report)
+    pairs = pairs.select("lang", "id_l", "id_r")
     if keyed is not None:
         pairs = pairs.unionByName(_phonetic_pairs_from_keyed(keyed, cfg))
     return pairs.dropDuplicates(["id_l", "id_r"])
@@ -262,6 +288,35 @@ def phonetic_stem_pairs(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
     )
 
 
+def shingle_side(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
+    """Per-doc scoring side table: (file_id, path_stem, hashed shingle
+    set). Callers that reference it more than once (score_pairs does,
+    twice) should localCheckpoint it — the higher-order shingle
+    expression is interpreted and re-evaluating it per plan branch
+    dominated the stage before the checkpoint (see score_pairs)."""
+    from .operators.dedup import _MERSENNE, cross_hash60, ngram_shingles
+
+    # Jaccard runs over HASHED shingle sets (array<long>), not strings:
+    # primitive long arrays allocate ~7x less than 500-element string
+    # arrays (string-shingle GC inflated the stage's CPU ~50% under
+    # 8-way concurrency in one JVM) and intersect faster. md5 mode hashes
+    # with the cross-engine 60-bit md5 (mod p) so the DuckDB twin sees
+    # the IDENTICAL sets — collisions (~1e-4/doc at 2^31) shrink both
+    # sides' sets identically, so jaccard still matches exactly.
+    sh_raw = ngram_shingles(F.col("content_norm"), cfg.shingle_n)
+    if cfg.hash_mode == "md5":
+        sh_h = F.array_distinct(
+            F.transform(sh_raw, lambda s: cross_hash60(s) % F.lit(_MERSENNE))
+        )
+    else:
+        sh_h = F.array_distinct(F.transform(sh_raw, lambda s: F.xxhash64(s)))
+    return norm.select(
+        F.col("file_id"),
+        F.col("path_stem"),
+        sh_h.alias("sh"),
+    )
+
+
 def score_pairs(
     pairs: DataFrame,
     norm: DataFrame,
@@ -269,6 +324,7 @@ def score_pairs(
     n_pairs: int | None = None,
     pairs_per_partition: int = 4_000,
     checkpoint_side: bool = True,
+    side: DataFrame | None = None,
 ) -> DataFrame:
     """Pairwise scoring: native shingle-Jaccard (token-set similarity) +
     one Arrow pass of Jaro-Winkler on path stems. Returns scored pairs
@@ -290,30 +346,12 @@ def score_pairs(
     tasks (the round-2 repos job scaled at 0.59 for exactly this reason).
     ``n_pairs`` (caller-known, e.g. from a persisted pair count) keeps the
     partition SIZE constant across cluster sizes; unknown count falls
-    back to 4 x cores."""
-    from .operators.dedup import _MERSENNE, cross_hash60, ngram_shingles
-
-    # Jaccard runs over HASHED shingle sets (array<long>), not strings:
-    # primitive long arrays allocate ~7x less than 500-element string
-    # arrays (string-shingle GC inflated the stage's CPU ~50% under
-    # 8-way concurrency in one JVM) and intersect faster. md5 mode hashes
-    # with the cross-engine 60-bit md5 (mod p) so the DuckDB twin sees
-    # the IDENTICAL sets — collisions (~1e-4/doc at 2^31) shrink both
-    # sides' sets identically, so jaccard still matches exactly.
-    sh_raw = ngram_shingles(F.col("content_norm"), cfg.shingle_n)
-    if cfg.hash_mode == "md5":
-        sh_h = F.array_distinct(
-            F.transform(sh_raw, lambda s: cross_hash60(s) % F.lit(_MERSENNE))
-        )
-    else:
-        sh_h = F.array_distinct(F.transform(sh_raw, lambda s: F.xxhash64(s)))
-    side = norm.select(
-        F.col("file_id"),
-        F.col("path_stem"),
-        sh_h.alias("sh"),
-    )
-    if checkpoint_side:
-        side = side.localCheckpoint()
+    back to 4 x cores. Pass a pre-materialized ``side`` (from
+    :func:`shingle_side`) to skip the build here."""
+    if side is None:
+        side = shingle_side(norm, cfg)
+        if checkpoint_side:
+            side = side.localCheckpoint()
     p = (
         pairs.join(
             side.select(

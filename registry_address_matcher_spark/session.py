@@ -27,12 +27,15 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus and master == "local[*]":
         master = f"local[{cpus}]"
+    cluster_shape = _local_cluster_shape(master)  # (executors, cores_per_exec)
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
         if master.startswith("local["):
             inner = master[6:-1]
             if inner.isdigit():
                 n = int(inner)
+        elif cluster_shape:
+            n = cluster_shape[0] * cluster_shape[1]
         shuffle_partitions = max(8, n)
 
     builder = (
@@ -49,12 +52,37 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if cluster_shape:
+        # each executor JVM must size its internal thread pools (GC, JIT,
+        # ForkJoin) to ITS core slice, not the host's CPU count — a 1-core
+        # executor on a 32-CPU box otherwise spawns ~23 GC threads, and 8
+        # such executors thrash each other. Real clusters get this from
+        # the container's cpuset; local-cluster needs it explicit.
+        builder = builder.config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={cluster_shape[1]}",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
     return spark
+
+
+def _local_cluster_shape(master: str) -> tuple[int, int] | None:
+    """Parse ``local-cluster[n, cores, mem]`` -> (n, cores); None otherwise.
+
+    local-cluster mode launches REAL separate executor JVMs (forked by
+    in-process Workers) — the closest in-sandbox stand-in for a
+    multi-executor cluster, used by the scaling benchmarks."""
+    if not master.startswith("local-cluster["):
+        return None
+    try:
+        parts = master[len("local-cluster["):-1].split(",")
+        return int(parts[0].strip()), int(parts[1].strip())
+    except (ValueError, IndexError):
+        return None
 
 
 def _ship_package(spark: SparkSession) -> None:

@@ -143,3 +143,44 @@ def test_range_join_malformed_interval_explodes_nothing(spark):
     out = interval_point_join(iv, pt, ["u"], "s", "e", "ts", cell_width=10)
     rows = {(r.s, r.e, r.ts) for r in out.collect()}
     assert rows == {(0, 100, 50)}
+
+
+def test_asof_chunked_null_group_and_null_ts_match_single_window(spark):
+    """ADVICE r3: the segmented carry joins must be NULL-SAFE — a NULL
+    `by` key is a real group and a NULL ts floors to a NULL cell; plain
+    equality dropped their cross-cell carry. Compare both plans over a
+    graph with a NULL group alongside a real one and NULL timestamps on
+    both sides."""
+    import pandas as pd
+    from registry_address_matcher_spark.operators.asof import asof_join_backward
+
+    hour = 3_600_000_000
+    left = spark.createDataFrame(
+        [
+            (None, "2024-01-01 00:30:00", "l1"),
+            (None, "2024-01-01 05:30:00", "l2"),  # carry must cross 4 empty cells
+            ("g", "2024-01-01 05:30:00", "l3"),
+            (None, None, "l4"),
+            ("g", None, "l5"),
+        ],
+        "grp string, ts string, lid string",
+    ).selectExpr("grp", "cast(ts as timestamp) ts", "lid")
+    right = spark.createDataFrame(
+        [
+            (None, "2024-01-01 00:00:00", "rA", 1.0),
+            ("g", "2024-01-01 01:00:00", "rB", 2.0),
+            (None, None, "rC", 3.0),
+        ],
+        "grp string, ts string, rid string, v double",
+    ).selectExpr("grp", "cast(ts as timestamp) ts", "rid", "v")
+
+    kw = dict(by=["grp"], ts_col="ts", value_cols=["rid", "v"],
+              tie_cols=["rid"], prefix="r_")
+    base = asof_join_backward(left, right, **kw).toPandas()
+    chunked = asof_join_backward(left, right, coarse_cell_micros=hour, **kw).toPandas()
+    key = ["grp", "lid"]
+    a = base.sort_values(key).reset_index(drop=True)
+    b = chunked.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    # the NULL group's later row really does receive the cross-cell carry
+    assert a.loc[a.lid == "l2", "r_rid"].iloc[0] == "rA"

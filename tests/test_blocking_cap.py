@@ -1,0 +1,128 @@
+"""Quadratic-block guard (VERDICT r3 #4): cap_block semantics, default-on
+wiring into the v3 multi-block and repos band paths, truncation lineage."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from registry_address_matcher_spark.config import ScaleConfig
+from registry_address_matcher_spark.operators.blocking import cap_block
+
+
+def _pairs(spark):
+    rows = [("hot", f"p{i:03d}", f"b{j:03d}") for i in range(20) for j in range(10)]
+    rows += [("cold", f"p{i}", f"b{i}") for i in range(5)]
+    return spark.createDataFrame(rows, "bk string, id_l string, id_r string")
+
+
+def test_cap_block_truncates_deterministically(spark):
+    pairs = _pairs(spark)
+    kept, report = cap_block(pairs, ["bk"], "id_l", "id_r", 50, salt_buckets=8)
+    k = kept.toPandas()
+    # hot block (200 pairs) capped at <= 50, cold block (5 pairs) untouched
+    assert len(k[k.bk == "hot"]) <= 50
+    assert len(k[k.bk == "cold"]) == 5
+    r = report.toPandas()
+    assert set(r.bk) == {"hot"}
+    row = r.iloc[0]
+    assert row.total_pairs == 200
+    assert row.kept_pairs == len(k[k.bk == "hot"])
+    assert row.dropped_pairs == 200 - row.kept_pairs
+    # deterministic: identical kept set on a rerun
+    k2 = cap_block(pairs, ["bk"], "id_l", "id_r", 50, salt_buckets=8)[0].toPandas()
+    key = ["bk", "id_l", "id_r"]
+    assert k.sort_values(key).reset_index(drop=True).equals(
+        k2.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_cap_block_window_is_salted_not_per_block(spark):
+    """The guard must not itself create the single-task mega-block it
+    exists to prevent: the ranking window partitions by (block, salt)."""
+    pairs = _pairs(spark)
+    kept, _ = cap_block(pairs, ["bk"], "id_l", "id_r", 50, salt_buckets=8)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "__cap_salt" in plan.split("Window")[1].split("\n")[0], plan
+
+
+def test_cap_noop_below_threshold(spark):
+    pairs = _pairs(spark)
+    kept, report = cap_block(pairs, ["bk"], "id_l", "id_r", 10**6)
+    assert kept.count() == pairs.count()
+    assert report.count() == 0
+
+
+def test_repos_band_path_cap_and_lineage(spark):
+    from registry_address_matcher_spark.plans.lineage import truncation_lineage
+    from registry_address_matcher_spark.repos_pipeline import (
+        ReposMatchConfig,
+        candidate_block_pairs,
+        normalize_repos,
+    )
+    from registry_address_matcher_spark.synth import make_repos
+
+    repos, _ = make_repos(spark, n_base=60, dups_per_base=2, seed=7)
+    norm = normalize_repos(repos).persist()
+    cfg = ReposMatchConfig(phonetic_blocking=False)
+
+    # default config: cap present but not hit at this scale
+    reports: list = []
+    pairs_default = candidate_block_pairs(
+        norm, cfg, ScaleConfig(), truncation_reports=reports
+    ).toPandas()
+    assert len(reports) == 1 and reports[0].count() == 0
+
+    # tiny cap: triggers, fewer pairs, lineage rows appear
+    reports2: list = []
+    tiny = ScaleConfig(max_pairs_per_block=1, salt_buckets=4)
+    pairs_tiny = candidate_block_pairs(
+        norm, cfg, tiny, truncation_reports=reports2
+    ).toPandas()
+    assert len(pairs_tiny) < len(pairs_default)
+    rep = reports2[0]
+    assert rep.count() > 0
+    lin = truncation_lineage(rep, "run-x", "blocking").toPandas()
+    assert len(lin) == rep.count()
+    assert set(lin.stage) == {"blocking:truncated"}
+    assert (lin.candidate_pair_count > 0).all()
+
+
+def test_v3_multiblock_cap_and_default_equivalence(spark):
+    from registry_address_matcher_spark.operators.engine_v3 import (
+        multi_block_candidates,
+    )
+    from registry_address_matcher_spark.operators.preprocess import (
+        preprocess_registry,
+    )
+
+    def reg(rows):
+        return preprocess_registry(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    rows, columns=["ADDRESS_ID", "STREET_NAME", "HOUSE", "BUILDING"]
+                )
+            )
+        )
+
+    spr = reg([(f"S{i}", "ABOVYAN ST", str(i % 3 + 1), "") for i in range(12)])
+    cad = reg([(f"C{i}", "ABOVYAN STR", str(i % 3 + 1), "") for i in range(12)])
+
+    capped_off = multi_block_candidates(
+        spr, cad, ScaleConfig(max_pairs_per_block=None)
+    ).toPandas()
+    default = multi_block_candidates(spr, cad, ScaleConfig()).toPandas()
+    key = ["id_s", "id_c"]
+    assert capped_off[key].sort_values(key).reset_index(drop=True).equals(
+        default[key].sort_values(key).reset_index(drop=True)
+    )
+
+    reports: list = []
+    tiny = multi_block_candidates(
+        spr, cad, ScaleConfig(max_pairs_per_block=2, salt_buckets=2),
+        truncation_reports=reports,
+    ).toPandas()
+    assert len(tiny) < len(default)
+    assert len(reports) == 4  # one per block family
+    rep = reports[0].toPandas()
+    assert "block_family" in rep.columns
+    total_dropped = sum(r.toPandas().dropped_pairs.sum() for r in reports)
+    assert total_dropped > 0

@@ -90,3 +90,31 @@ def test_cc_never_mutates_session_conf(spark):
         spark.conf.set = orig
     assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
     assert "spark.sql.shuffle.partitions" not in calls
+
+
+def test_star_rounds_have_no_window_and_survive_hub_skew(spark):
+    """VERDICT r3 #3: per-node min must come from groupBy+join (map-side
+    partial aggregation), not Window.partitionBy(src) — a window puts a
+    collapsing component's whole neighborhood in ONE task. Assert (a) the
+    star rounds' physical plans contain no Window node but do partial-
+    aggregate, and (b) a hub-skewed graph (one star component with 500
+    spokes next to tiny ones) still resolves correctly."""
+    from registry_address_matcher_spark.operators.cluster import (
+        _large_star,
+        _small_star,
+    )
+
+    hub_edges = [("hub", f"s{i:04d}") for i in range(500)] + [
+        ("p", "q"),
+        ("q", "r"),
+    ]
+    df = spark.createDataFrame(hub_edges, "src string, dst string")
+
+    for star in (_large_star, _small_star):
+        plan = star(df, 4)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, f"{star.__name__} plan uses a window:\n{plan}"
+        assert "partial_min" in plan or "HashAggregate" in plan, plan
+
+    got = _run(spark, hub_edges)
+    want = _oracle(hub_edges)
+    assert got == want

@@ -125,3 +125,38 @@ def test_file_id_null_components_do_not_collide(spark):
     )
     ids = [r[0] for r in df.select(file_id_col().alias("fid")).collect()]
     assert len(set(ids)) == 3
+
+
+def test_exact_content_pairs_skew_safe(spark):
+    """VERDICT r3 #2: the group representative must come from
+    groupBy(h).agg(min) + join-back, not a per-group window — one
+    ubiquitous content group (here 50% of rows: think empty files or
+    license boilerplate) must not collapse onto a single window task.
+    Asserts the plan partial-aggregates with no Window node, and that the
+    star edges are exactly (group-min -> every other member)."""
+    from registry_address_matcher_spark.repos_pipeline import (
+        exact_content_pairs,
+        normalize_repos,
+    )
+
+    rows = [(f"r{i}", f"a/b{i}.py", f"c{i}", "py", "same content") for i in range(50)]
+    rows += [(f"r{i}", f"x/y{i}.py", f"d{i}", "py", f"unique {i}") for i in range(50)]
+    repos = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    norm = normalize_repos(repos)
+    pairs = exact_content_pairs(norm)
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
+
+    got = pairs.toPandas()
+    ids = sorted(
+        r.file_id for r in norm.filter(norm.content == "same content")
+        .select("file_id").collect()
+    )
+    assert len(got) == 49
+    assert set(got.id_l) == {ids[0]}
+    assert sorted(got.id_r) == ids[1:]
+    assert set(got.match_type) == {"EXACT_CONTENT"}
