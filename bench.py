@@ -325,6 +325,75 @@ def run_repos_scaling_job(
     return out
 
 
+def run_scoring_sweep(sf_dir: str, cores: int, replicates=(20, 60)) -> dict:
+    """Scale-sweep of the adaptive partition policy (VERDICT r3 #6): the
+    320k-pairs/partition sweet spot was measured at ONE job size; this
+    runs the identical scoring job at several sizes (fresh JVM each) and
+    checks pairs/sec holds. A size-dependent throughput would mean the
+    constant-partition-size policy needs to be kernel- or size-aware."""
+    points = []
+    for rep in replicates:
+        r = _best_of(["--scaling-worker", "--cores", str(cores), "--sf-dir", sf_dir,
+                      "--replicate", str(rep)], 2, "pairs_per_sec")
+        points.append({"replicate": rep, **r})
+    base = points[0]["pairs_per_sec"]
+    spread = max(abs(p["pairs_per_sec"] - base) / base for p in points)
+    return {"cores": cores, "points": points, "max_rel_spread": round(spread, 3)}
+
+
+def run_repos_f1(cores: int | None, n_base: int = 72000) -> dict:
+    """Production-config (xxhash64 + metaphone) end-to-end F1 gate at
+    bench scale (n_base=72000 -> 216k files): the pytest gate runs the
+    same config at 360 files only, and blocking recall is scale-dependent
+    (bigger corpora have more near-collisions in the band space). Runs
+    the FULL pipeline — exact + blocking + scoring + accept + clustering
+    — then the distributed pairwise F1 vs the synthetic truth labels.
+    Appended to BENCH/BASELINE.md by --scaling via BENCH/repos_f1.json."""
+    from pyspark.sql import functions as F
+
+    from registry_address_matcher_spark.config import ScaleConfig
+    from registry_address_matcher_spark.repos_pipeline import (
+        ReposMatchConfig,
+        accepted_pairs,
+        candidate_block_pairs,
+        cluster_pairs,
+        exact_content_pairs,
+        normalize_repos,
+        pairwise_f1,
+        score_pairs,
+        verify_sha_invariant,
+    )
+    from registry_address_matcher_spark.session import get_spark
+    from registry_address_matcher_spark.synth import make_repos
+
+    spark = get_spark("repos-f1", master=f"local[{cores}]" if cores else None)
+    repos, labels = make_repos(spark, n_base=n_base)
+    cfg = ReposMatchConfig()
+    norm = normalize_repos(repos).persist()
+    n_files = norm.count()
+    t0 = time.time()
+    exact = exact_content_pairs(norm)
+    cand = candidate_block_pairs(norm, cfg, n_docs=n_files).persist()
+    scored = score_pairs(cand, norm, cfg, n_pairs=cand.count())
+    acc = accepted_pairs(scored, cfg)
+    pairs = acc.unionByName(
+        exact.select("id_l", "id_r", "score", "match_type")
+    ).dropDuplicates(["id_l", "id_r"])
+    clusters = cluster_pairs(pairs, norm, ScaleConfig()).persist()
+    clusters.count()
+    stats = pairwise_f1(clusters, labels)
+    out = {
+        "files": n_files,
+        "labels": labels.count(),
+        "seconds": round(time.time() - t0, 1),
+        "sha_invariant": verify_sha_invariant(repos, clusters),
+        "config": {"hash_mode": cfg.hash_mode, "phonetic_kind": cfg.phonetic_kind},
+        **stats,
+    }
+    spark.stop()
+    return out
+
+
 def run_repos_stage_profile(
     cores: int | None, n_base: int = 24000, executors: int | None = None
 ) -> dict:
@@ -446,6 +515,7 @@ def run_scaling(
     repos_base: int = 36000,
     repeats_hi: int | None = None,
     pair_json: str | None = None,
+    repos_json: str | None = None,
 ) -> None:
     """North-rule scaling evidence: identical job, two parallelism levels.
 
@@ -479,12 +549,15 @@ def run_scaling(
 
     # second line of evidence: the NORTH-RULE JOB ITSELF (repos
     # normalize -> MinHash blocking -> scoring) at both levels
-    repos_res = {
-        lo: _best_of(["--repos-scaling-worker", "--cores", str(lo),
-                      "--repos-base", str(repos_base)], repeats, "files_per_sec"),
-        hi: _best_of(["--repos-scaling-worker", "--cores", str(hi),
-                      "--repos-base", str(repos_base)], n_hi, "files_per_sec"),
-    }
+    if repos_json:
+        repos_res = {int(k): v for k, v in json.loads(repos_json).items()}
+    else:
+        repos_res = {
+            lo: _best_of(["--repos-scaling-worker", "--cores", str(lo),
+                          "--repos-base", str(repos_base)], repeats, "files_per_sec"),
+            hi: _best_of(["--repos-scaling-worker", "--cores", str(hi),
+                          "--repos-base", str(repos_base)], n_hi, "files_per_sec"),
+        }
     r_eff = (repos_res[hi]["files_per_sec"] / repos_res[lo]["files_per_sec"]) / ratio
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -552,10 +625,52 @@ per-round in `BENCH/trend.jsonl` (appended by every default `bench.py`
 run) so cross-round regressions stay visible.
 """
         )
+    sweep_path = os.path.join(REPO, "BENCH", "scoring_sweep.json")
+    if os.path.exists(sweep_path):
+        with open(sweep_path) as fh:
+            sw = json.load(fh)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(
+                f"\n## Adaptive-policy scale sweep ({sw['cores']} cores)\n\n"
+                "Identical scoring job at multiple job sizes (constant\n"
+                "pairs-per-partition policy, fresh JVM per point, best of 2):\n\n"
+                "| pairs scored | stage (s) | pairs/sec |\n|---|---|---|\n"
+            )
+            for p in sw["points"]:
+                f.write(f"| {p['pairs_scored']} | {p['seconds']} | {p['pairs_per_sec']} |\n")
+            f.write(
+                f"\nMax relative throughput spread across sizes: "
+                f"**{sw['max_rel_spread']:.1%}** (policy holds if <= 10%).\n"
+            )
+    f1_path = os.path.join(REPO, "BENCH", "repos_f1.json")
+    if os.path.exists(f1_path):
+        with open(f1_path) as fh:
+            f1 = json.load(fh)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(
+                f"""
+## Repos-job quality gate at bench scale (production config)
+
+Full pipeline (exact + banded blocking + scoring + accept + transitive
+clustering) with the production config ({f1['config']['hash_mode']} +
+{f1['config']['phonetic_kind']}) at {f1['files']} files vs the synthetic
+truth labels ({f1['labels']} labeled pairs), run via `bench.py
+--repos-f1`:
+
+| files | precision | recall | F1 | sha invariant | gate |
+|---|---|---|---|---|---|
+| {f1['files']} | {f1['precision']} | {f1['recall']} | {f1['f1']} | {f1['sha_invariant']} | {"PASS" if f1['f1'] >= 0.99 else "FAIL"} (>= 0.99) |
+"""
+            )
     trend = os.path.join(REPO, "BENCH", "trend.jsonl")
     if os.path.exists(trend):
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f, open(trend) as t:
             f.write("\n## e2e trend (sf0.1, default-core runs)\n\n")
+            f.write(
+                "Rows with runs=1 predate the repeated-bench harness (rounds 1-2): "
+                "their single measurement is shown in the min column and has no "
+                "median — compare medians only against medians (runs>=3 rows).\n\n"
+            )
             f.write(
                 "| when (unix) | cores | e2e sec (min) | pairs/sec | runs | median |\n"
                 "|---|---|---|---|---|---|\n"
@@ -615,6 +730,10 @@ def main() -> None:
     ap.add_argument("--scaling-worker", action="store_true")
     ap.add_argument("--repos-scaling-worker", action="store_true")
     ap.add_argument("--repos-stage-profile", action="store_true")
+    ap.add_argument("--repos-f1", action="store_true",
+                    help="full-pipeline F1 gate at bench scale; writes BENCH/repos_f1.json")
+    ap.add_argument("--scoring-sweep", action="store_true",
+                    help="pairs/sec at multiple job sizes; writes BENCH/scoring_sweep.json")
     ap.add_argument("--bench-worker", action="store_true")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--levels", default="2,8", help="two core counts, N and 4N")
@@ -631,12 +750,14 @@ def main() -> None:
                     help="low-level repeats; the high level runs 2x this")
     ap.add_argument("--pair-json", default=None,
                     help="reuse pair-job results (the 'levels' JSON object)")
+    ap.add_argument("--repos-json", default=None,
+                    help="reuse repos-job results (the 'repos_levels' JSON object)")
     args = ap.parse_args()
     if args.scaling:
         levels = tuple(int(x) for x in args.levels.split(","))
         run_scaling(args.sf_dir, levels=levels, repeats=args.repeats,
                     replicate=args.replicate, repos_base=args.repos_base,
-                    pair_json=args.pair_json)
+                    pair_json=args.pair_json, repos_json=args.repos_json)
         return
     if args.scaling_worker:
         print(json.dumps(run_scaling_job(args.sf_dir, args.cores, args.replicate,
@@ -649,6 +770,20 @@ def main() -> None:
     if args.repos_stage_profile:
         print(json.dumps(run_repos_stage_profile(args.cores, n_base=args.repos_base,
                                                  executors=args.executors)))
+        return
+    if args.scoring_sweep:
+        res = run_scoring_sweep(args.sf_dir, args.cores or 8)
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "scoring_sweep.json"), "w") as f:
+            json.dump(res, f, indent=2)
+        print(json.dumps(res))
+        return
+    if args.repos_f1:
+        res = run_repos_f1(args.cores, n_base=args.repos_base)
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "repos_f1.json"), "w") as f:
+            json.dump(res, f, indent=2)
+        print(json.dumps(res))
         return
     cores = args.cores
     if cores is None and os.environ.get("SPARK_GRAFT_CPUS"):

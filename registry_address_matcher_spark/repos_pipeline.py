@@ -26,10 +26,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .config import ScaleConfig
-from .functions.similarity import jaro_winkler_udf
+from .functions.similarity import jaro_winkler_similarity
 from .operators.blocking import salted_join
 from .operators.cluster import connected_components
-from .operators.dedup import jaccard_col, minhash_signatures
+from .operators.dedup import minhash_signatures
 
 
 @dataclass(frozen=True)
@@ -181,23 +181,22 @@ def candidate_block_pairs(
         .join(norm.select(F.col("file_id").alias("id"), "lang"), "id")
         .select("id", "lang", "sig")
     )
-    # materialize the two independent checkpoints CONCURRENTLY: each is a
-    # driver-synchronous barrier whose task tail leaves cores idle;
-    # submitting both jobs at once lets the scheduler interleave their
-    # tasks into each other's tails (localCheckpoint from two Python
-    # threads is two independent Spark jobs — supported and safe)
+    # materialize the two checkpoints SEQUENTIALLY. Round 3 ran them from
+    # two driver threads to fill each other's task tails — but two
+    # concurrent jobs each schedule a full complement of tasks, so a
+    # W-core executor runs 2W heavy Arrow/interpreted tasks at once.
+    # Oversubscription doesn't average out: it doubles the allocation
+    # rate and working set per core, pushing G1 into back-to-back
+    # concurrent cycles (kernel-stack-sampled as the scaling-gap storm).
+    # Measured at 216k files / 8 cores: concurrent 1168 cpu-s / 167 s
+    # e2e vs sequential 564 cpu-s / 78 s — the tail-filling win is noise
+    # against the 2x CPU cost. On a real cluster concurrent jobs face
+    # the same per-executor oversubscription.
     keyed_plan = (
         _phonetic_keyed(norm, cfg) if cfg.phonetic_blocking else None
     )
-    if keyed_plan is not None:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(2) as ex:
-            f_sigs = ex.submit(sigs_plan.localCheckpoint)
-            f_keyed = ex.submit(keyed_plan.localCheckpoint)
-            sigs, keyed = f_sigs.result(), f_keyed.result()
-    else:
-        sigs, keyed = sigs_plan.localCheckpoint(), None
+    sigs = sigs_plan.localCheckpoint()
+    keyed = keyed_plan.localCheckpoint() if keyed_plan is not None else None
     r = cfg.num_perm // cfg.bands
 
     def band_key(b):
@@ -377,14 +376,79 @@ def score_pairs(
         n_part = cpu_stage_partitions(n_pairs, pairs_per_partition, cores)
     else:
         n_part = max(cores * 4, 8)
-    p = p.repartition(n_part, "id_l", "id_r")
-    p = p.withColumn("jaccard", jaccard_col(F.col("sh_l"), F.col("sh_r")))
-    p = p.withColumn("jw", jaro_winkler_udf(F.col("stem_l"), F.col("stem_r")))
-    p = p.withColumn(
-        "score",
-        F.round(cfg.w_content * F.col("jaccard") + cfg.w_path * F.col("jw"), 6),
+    p = p.repartition(n_part, "id_l", "id_r").select(
+        "lang", "id_l", "id_r", "stem_l", "stem_r", "sh_l", "sh_r"
     )
-    return p.select("lang", "id_l", "id_r", "jaccard", "jw", "score")
+    # BOTH scorers run in ONE mapInPandas kernel. Two rejected designs,
+    # both measured at 354k pairs / 216k files / 8 cores:
+    #   1. native array_intersect jaccard + Arrow JW udf fused in one
+    #      projection — ExtractPythonUDFs evaluates the python UDF FIRST,
+    #      so ArrowEvalPython's HybridRowQueue buffers the full rows
+    #      (both KB-sized shingle arrays per pair, multi-GB) while
+    #      awaiting python results: 146 s / 670 cpu-s, degrading to
+    #      kernel-side storms (disk spill + allocation pressure).
+    #   2. native jaccard behind a localCheckpoint barrier, then slim
+    #      JW — the barrier materialization itself storms (996 cpu-s):
+    #      interpreted ArrayIntersect/ArrayUnion allocate a hash set per
+    #      row under W-way concurrency.
+    # mapInPandas has NO JVM-side row queue — batches stream to python,
+    # only the slim result rows come back — and numpy's sort-merge
+    # intersect1d does the set math allocation-free. Exactness is
+    # preserved (exact set intersection over the hashed shingle sets;
+    # identical to array_intersect semantics on distinct arrays), so the
+    # md5-mode DuckDB oracle still matches hash-for-hash. JW reuses the
+    # same scalar (jaro_winkler_similarity) the Arrow udf wrapped, with
+    # the same per-batch pair memo (path stems repeat heavily).
+    import numpy as np
+    import pandas as pd
+
+    w_content, w_path = cfg.w_content, cfg.w_path
+
+    def _score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            jac = np.empty(n, dtype="float64")
+            jw = np.empty(n, dtype="float64")
+            cache: dict = {}
+            stems_l = pdf["stem_l"].fillna("").tolist()
+            stems_r = pdf["stem_r"].fillna("").tolist()
+            sh_l = pdf["sh_l"].tolist()
+            sh_r = pdf["sh_r"].tolist()
+            for i in range(n):
+                a, b = sh_l[i], sh_r[i]
+                la = 0 if a is None else len(a)
+                lb = 0 if b is None else len(b)
+                if la == 0 and lb == 0:
+                    jac[i] = 1.0
+                elif la == 0 or lb == 0:
+                    jac[i] = 0.0
+                else:
+                    inter = np.intersect1d(a, b).size
+                    jac[i] = inter / (la + lb - inter)
+                key = (stems_l[i], stems_r[i])
+                v = cache.get(key)
+                if v is None:
+                    v = jaro_winkler_similarity(*key)
+                    cache[key] = v
+                jw[i] = v
+            yield pd.DataFrame(
+                {
+                    "lang": pdf["lang"],
+                    "id_l": pdf["id_l"],
+                    "id_r": pdf["id_r"],
+                    "jaccard": jac,
+                    "jw": jw,
+                }
+            )
+
+    scored = p.mapInPandas(
+        _score, "lang string, id_l string, id_r string, jaccard double, jw double"
+    )
+    scored = scored.withColumn(
+        "score",
+        F.round(w_content * F.col("jaccard") + w_path * F.col("jw"), 6),
+    )
+    return scored.select("lang", "id_l", "id_r", "jaccard", "jw", "score")
 
 
 def accepted_pairs(scored: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
@@ -406,6 +470,48 @@ def cluster_pairs(all_pairs: DataFrame, norm: DataFrame, scale: ScaleConfig | No
         F.coalesce(F.col("component"), F.col("file_id")).alias("component"),
         "content_sha",
     )
+
+
+def pairwise_f1(clusters: DataFrame, labels: DataFrame) -> dict:
+    """Pairwise precision/recall/F1 of the transitive clustering against a
+    labeled-pairs table (left_id, right_id, is_match) — two files are
+    predicted matching iff they land in the same component.
+
+    Fully distributed (two equi-joins + one aggregate): the driver-side
+    pandas loop in the pytest gate is fine at 360 files but not at the
+    bench's 216k, where the label table is ~432k rows."""
+    comp = clusters.select("file_id", "component")
+    j = (
+        labels.join(
+            comp.select(
+                F.col("file_id").alias("left_id"), F.col("component").alias("c_l")
+            ),
+            "left_id",
+            "left",
+        ).join(
+            comp.select(
+                F.col("file_id").alias("right_id"), F.col("component").alias("c_r")
+            ),
+            "right_id",
+            "left",
+        )
+    )
+    same = F.col("c_l").isNotNull() & (F.col("c_l") == F.col("c_r"))
+    row = j.agg(
+        F.sum(F.when(F.col("is_match") & same, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("is_match") & ~same, 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("is_match") & same, 1).otherwise(0)).alias("fp"),
+    ).collect()[0]
+    tp, fn, fp = int(row["tp"]), int(row["fn"]), int(row["fp"])
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp": tp, "fn": fn, "fp": fp,
+        "precision": round(precision, 6),
+        "recall": round(recall, 6),
+        "f1": round(f1, 6),
+    }
 
 
 def verify_sha_invariant(input_df: DataFrame, output_df: DataFrame) -> bool:

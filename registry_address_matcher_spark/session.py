@@ -48,10 +48,42 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 8g, NOT "as much as the box has": on this sandbox's Firecracker
+        # kernel a 48g max-heap JVM intermittently degrades into a kernel-
+        # side storm — executor task threads burn ~100% SYSTEM time (same
+        # job: 175 cpu-s clean vs 900-1800 cpu-s storming; user-time
+        # constant, all inflation is sys) — consistent with stage-2 page-
+        # table/commit churn on the huge sparse reservation. 8g measured
+        # clean across repeated runs, and no workload here needs more
+        # (sf0.1 inputs are ~100 MB; executors on a real cluster size
+        # their own heaps via spark-submit).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if not os.environ.get("SPARK_LOCAL_DIRS") and os.path.isdir("/dev/shm"):
+        # shuffle/spill/checkpoint blocks on tmpfs: this sandbox's ext4
+        # root sits on a virtio disk whose buffered-write path is slow
+        # enough that concurrent shuffle writers burn whole cores in
+        # SYSTEM time (kernel-stack-sampled: ext4_da_write_end under 8
+        # writers). A real cluster points spark.local.dir at fast local
+        # SSDs; tmpfs is this box's equivalent. SPARK_LOCAL_DIRS (the
+        # standard env) overrides.
+        shm_dir = "/dev/shm/spark-local"
+        os.makedirs(shm_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm_dir)
+    if not os.environ.get("RAM_SPARK_NO_UDS"):
+        # Python-worker channels (Arrow batches, accumulators, barrier)
+        # over UNIX domain sockets instead of TCP loopback (Spark 4.1+).
+        # On this sandboxed kernel, loopback TCP is policed per-packet:
+        # concurrent Arrow streams degrade into a SYSTEM-time storm that
+        # grows superlinearly with worker count (measured on the repos
+        # job at 8 workers: ~200 user cpu-s doing the work vs ~1600 sys
+        # cpu-s in the socket path — a 2-core run burns 121 cpu-s total).
+        # UDS bypasses the TCP stack entirely; on unpoliced kernels the
+        # change is neutral-to-positive (fewer copies, no checksum), so
+        # it is on by default and RAM_SPARK_NO_UDS opts out.
+        builder = builder.config("spark.python.unix.domain.socket.enabled", "true")
     if cluster_shape:
         # each executor JVM must size its internal thread pools (GC, JIT,
         # ForkJoin) to ITS core slice, not the host's CPU count — a 1-core
@@ -62,12 +94,38 @@ def get_spark(
             "spark.executor.extraJavaOptions",
             f"-XX:ActiveProcessorCount={cluster_shape[1]}",
         )
+    else:
+        n_local = _local_n(master)
+        xopts = os.environ.get("SPARK_GRAFT_DRIVER_XOPTS", "")
+        if n_local and not os.environ.get("RAM_SPARK_NO_CPU_CAP"):
+            # same container semantics for plain local[N]: the single JVM
+            # is the "executor" — size its GC/JIT/ForkJoin pools to the N
+            # task slots, not the 32-CPU host. Without this, GC work
+            # scales with HOST cpus times allocation rate, so a local[8]
+            # run burns measurably more cpu-seconds per row than local[2]
+            # on identical data (observed 2.9x on the repos job) and the
+            # 2-vs-8 scaling evidence understates a real cluster. Only
+            # effective for the process's FIRST session (the JVM launches
+            # once); bench workers run in fresh subprocesses for this
+            # reason.
+            xopts = f"-XX:ActiveProcessorCount={n_local} {xopts}".strip()
+        if xopts:
+            builder = builder.config("spark.driver.extraJavaOptions", xopts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
     return spark
+
+
+def _local_n(master: str) -> int | None:
+    """Parse ``local[N]`` -> N; None for ``local[*]``/cluster masters."""
+    if master.startswith("local[") and master.endswith("]"):
+        inner = master[6:-1]
+        if inner.isdigit():
+            return int(inner)
+    return None
 
 
 def _local_cluster_shape(master: str) -> tuple[int, int] | None:

@@ -160,3 +160,30 @@ def test_exact_content_pairs_skew_safe(spark):
     assert set(got.id_l) == {ids[0]}
     assert sorted(got.id_r) == ids[1:]
     assert set(got.match_type) == {"EXACT_CONTENT"}
+
+
+def test_pairwise_f1_matches_driver_loop(spark, repos_fixture):
+    """The distributed F1 (used by the bench-scale gate) must agree with
+    the reference driver-side loop on identical clusters/labels."""
+    from registry_address_matcher_spark.repos_pipeline import pairwise_f1
+
+    repos, labels = repos_fixture
+    _, _, clusters = _run_pipeline(spark, repos)
+
+    got = pairwise_f1(clusters, labels)
+
+    cp = clusters.select("file_id", "component").toPandas().set_index("file_id")["component"]
+    tp = fn = fp = 0
+    for _, row in labels.toPandas().iterrows():
+        same = cp.get(row.left_id) == cp.get(row.right_id)
+        if row.is_match and same:
+            tp += 1
+        elif row.is_match:
+            fn += 1
+        elif same:
+            fp += 1
+    assert (got["tp"], got["fn"], got["fp"]) == (tp, fn, fp)
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall)
+    assert abs(got["f1"] - f1) < 1e-9
