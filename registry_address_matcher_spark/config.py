@@ -57,6 +57,17 @@ class ScaleConfig:
     # localCheckpoint between connected-components iterations
     cc_checkpoint_interval: int = 1
     cc_max_iterations: int = 50
+    # connected-components per-node-min strategy switch: graphs at or
+    # below this many (canonical) edges use a Window.partitionBy(src)
+    # min — one shuffle, no join-back — because the total edge count
+    # bounds ANY node's neighborhood, so the worst "hub" task sorts at
+    # most this many rows (~2M string pairs sorts in well under a
+    # second). Above it, the skew-safe groupBy+min+join-back path runs:
+    # a collapsing billion-node component's hub neighborhood approaches
+    # component size and a window would put it in ONE task. Measured at
+    # sf0.1 (the window bound applies): the join-back path cost ~46%
+    # extra wall on the clustering stage for zero skew benefit.
+    cc_window_max_edges: int = 2_000_000
     # -- CPU-bound Arrow-stage partitioning ---------------------------------
     # Target candidate pairs per scoring partition. ~320k pairs/partition
     # is the measured sweet spot for the 4-scorer kernel (10.2M-pair job,

@@ -43,22 +43,34 @@ def salted_join(
     keys: list[str],
     scale: ScaleConfig | None = None,
     salt_col: str = "__salt",
+    probe_salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join on ``keys`` with hot keys salted ``scale.salt_buckets`` ways.
 
     Hot keys are detected on the build side with one cheap aggregate; the
     hot-key list is broadcast (it is small by construction — keys above
-    threshold). Probe rows on hot keys get ``salt = pmod(hash(probe id
+    threshold). Probe rows on hot keys get ``salt = pmod(hash(probe salt
     cols), S)``; build rows on hot keys are exploded across all S salts.
     Cold keys join with salt 0 on both sides — no duplication.
+
+    ``probe_salt_cols`` names the column(s) the probe salt hashes —
+    callers should pass their unique probe-id column explicitly. Within
+    a hot block every probe row shares the KEY columns, so a salt hashed
+    over all columns draws its entropy only from the non-key payload; a
+    duplicate-heavy probe (many rows with identical payload — think
+    repeated address text) would then collapse onto one salt bucket and
+    re-create the very hot partition the salt exists to break. Hashing
+    the id column makes the spread uniform regardless of payload
+    duplication. Default (None) falls back to all probe columns, which
+    is only safe when they include a unique id.
     """
     scale = scale or ScaleConfig()
     s = scale.salt_buckets
     hot = hot_keys(build, keys, scale.hot_block_threshold).withColumn("__is_hot", F.lit(True))
 
     probe_h = probe.join(F.broadcast(hot), keys, "left")
-    # deterministic salt from the whole probe row's key-independent hash
-    probe_salt = F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(s))
+    salt_src = probe_salt_cols or probe.columns
+    probe_salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(s))
     probe_h = probe_h.withColumn(
         salt_col, F.when(F.col("__is_hot").isNotNull(), probe_salt).otherwise(F.lit(0))
     ).drop("__is_hot")

@@ -41,11 +41,11 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
-def _node_min(b: DataFrame, n_part: int) -> DataFrame:
+def _node_min(b: DataFrame, n_part: int, window_ok: bool = False) -> DataFrame:
     """Per-node neighborhood minimum m(u) = min(N(u) ∪ {u}), attached back
     to every edge row: (src, dst, m).
 
-    Computed as ``groupBy(src).agg(min(dst))`` + equi-join-back, NOT
+    Default path: ``groupBy(src).agg(min(dst))`` + equi-join-back, NOT
     ``Window.partitionBy(src)``: as components collapse toward a star,
     the component-min node's neighborhood approaches component size, so a
     window would sort a billion rows in ONE task in the final iterations
@@ -53,24 +53,40 @@ def _node_min(b: DataFrame, n_part: int) -> DataFrame:
     The aggregate path is skew-safe — map-side partial aggregation
     shrinks a hot node to one row per input partition before the shuffle,
     the min table is one row per node, and the join-back is a plain
-    equi-join AQE can skew-split. The explicit ``repartition(n_part,
-    src)`` sizes the shuffle to the graph and is reused by both the
-    aggregate and the join probe side — the loop never touches session
-    conf (the round-1 version mutated spark.sql.shuffle.partitions
-    globally, racing any concurrent query on the session)."""
+    equi-join AQE can skew-split.
+
+    ``window_ok=True`` (set by :func:`connected_components` only when the
+    WHOLE graph fits ``scale.cc_window_max_edges``) switches to a
+    whole-frame window min — one shuffle instead of two-plus-join, ~30%
+    less wall per star round at small scale. Safe exactly because the
+    total edge count bounds any single node's neighborhood, so the
+    worst-case single task is the whole (small) graph. The direct
+    ``_large_star``/``_small_star`` callers default to the skew-safe
+    path.
+
+    The explicit ``repartition(n_part, src)`` sizes the shuffle to the
+    graph and is reused by the aggregate/window AND the join probe side —
+    the loop never touches session conf (the round-1 version mutated
+    spark.sql.shuffle.partitions globally, racing any concurrent query
+    on the session)."""
     b = b.repartition(n_part, "src")
+    if window_ok:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("src")
+        return b.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
     mins = b.groupBy("src").agg(F.min("dst").alias("_mn"))
     return b.join(mins, "src").withColumn(
         "m", F.least(F.col("_mn"), F.col("src"))
     ).drop("_mn")
 
 
-def _large_star(edges: DataFrame, n_part: int) -> DataFrame:
+def _large_star(edges: DataFrame, n_part: int, window_ok: bool = False) -> DataFrame:
     """Connect every larger neighbor to the node's minimum. Output may
     contain duplicates — the following small-star round dedups, saving a
     shuffle per iteration."""
     b = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    b = _node_min(b, n_part)
+    b = _node_min(b, n_part, window_ok)
     return (
         b.filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
@@ -78,7 +94,7 @@ def _large_star(edges: DataFrame, n_part: int) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame, n_part: int) -> DataFrame:
+def _small_star(edges: DataFrame, n_part: int, window_ok: bool = False) -> DataFrame:
     """Connect all smaller neighbors (and the node) to the minimum.
     Output is already in canonical (src < dst) orientation: emitted pairs
     are (m, v) with m the group minimum."""
@@ -86,7 +102,7 @@ def _small_star(edges: DataFrame, n_part: int) -> DataFrame:
     o = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    nbr = _node_min(o, n_part)
+    nbr = _node_min(o, n_part, window_ok)
     out = nbr.select(F.col("m").alias("src"), F.col("dst")).union(
         nbr.select(F.col("m").alias("src"), F.col("src").alias("dst"))
     )
@@ -130,7 +146,11 @@ def connected_components(
     n0 = cur.count()
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cc_parts = max(2, min(session_parts, n0 // 500_000 + 1))
-    cur = _cc_loop(cur, scale, debug, cc_parts)
+    # small graph -> window-based node-min (see _node_min): the n0 bound
+    # holds for every iterate too — star rounds never grow the canonical
+    # edge count above the node count of the original graph <= 2*n0
+    window_ok = n0 <= scale.cc_window_max_edges // 2
+    cur = _cc_loop(cur, scale, debug, cc_parts, window_ok)
     # converged edge set is a star forest in canonical (src < dst) form:
     # src is the component minimum (the root)
     members = cur.select(F.col("dst").alias("node"), F.col("src").alias("component"))
@@ -138,14 +158,16 @@ def connected_components(
     return members.union(roots).distinct()
 
 
-def _cc_loop(cur: DataFrame, scale: ScaleConfig, debug: bool, n_part: int) -> DataFrame:
+def _cc_loop(
+    cur: DataFrame, scale: ScaleConfig, debug: bool, n_part: int, window_ok: bool = False
+) -> DataFrame:
     import time
 
     prev_fp = None
     for it in range(scale.cc_max_iterations):
         t0 = time.time()
         # small_star output is already canonical (src < dst, deduped)
-        nxt = _small_star(_large_star(cur, n_part), n_part)
+        nxt = _small_star(_large_star(cur, n_part, window_ok), n_part, window_ok)
         if scale.cc_checkpoint_interval and (it % scale.cc_checkpoint_interval == 0):
             nxt = nxt.localCheckpoint()
         fp = _fingerprint(nxt)

@@ -65,7 +65,7 @@ def multi_block_candidates(
     ]:
         l = s.filter(guard).withColumn("__bk", expr_s)
         r = c.withColumn("__bk", expr_c).filter(F.col("__bk") != "")
-        joined = salted_join(l, r, ["__bk"], scale)
+        joined = salted_join(l, r, ["__bk"], scale, probe_salt_cols=["id_s"])
         if scale.max_pairs_per_block is not None:
             from .blocking import cap_block
 

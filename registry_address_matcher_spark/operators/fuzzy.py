@@ -61,7 +61,10 @@ def candidate_pairs(
     build = cad.filter(F.col("HOUSE_NORM") != "").select(*keys, *[
         F.col(c).alias(f"{c}_CAD") for c in cols
     ])
-    return salted_join(probe, build, keys, scale)
+    # salt on the probe id explicitly: within a hot block a payload-
+    # duplicate-heavy probe would otherwise collapse onto one salt
+    return salted_join(probe, build, keys, scale,
+                       probe_salt_cols=["ADDRESS_ID_SPR"])
 
 
 def _attach_side_attrs(matched: DataFrame, spr: DataFrame, cad: DataFrame) -> DataFrame:

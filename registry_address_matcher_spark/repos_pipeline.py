@@ -162,41 +162,50 @@ def candidate_block_pairs(
     it drops blocks above ``cfg.phonetic_block_cap`` rows entirely.
     """
     scale = scale or ScaleConfig()
-    # eager localCheckpoint: the signature output is scanned twice below
-    # (banding + hot-key detection), and a downstream single-action write
-    # would otherwise re-run the Arrow kernel once per plan branch — a
-    # lazy persist() does not help when the branches run inside the same
-    # first action
-    sigs_plan = (
-        minhash_signatures(
-            norm.select(F.col("file_id").alias("id"), "lang", "content_norm"),
-            "id",
-            "content_norm",
-            shingle_n=cfg.shingle_n,
-            num_perm=cfg.num_perm,
-            seed=cfg.seed,
-            hash_mode=cfg.hash_mode,
-            n_docs=n_docs,
+    # ONE eager localCheckpoint covers BOTH candidate sources: the
+    # signature output is scanned twice below (banding + hot-key
+    # detection) and the phonetic key twice more (block-size agg +
+    # join-back), and a downstream single-action write would otherwise
+    # re-run the Arrow kernels once per plan branch — a lazy persist()
+    # does not help when the branches run inside the same first action.
+    # The phonetic key rides the signature projection (computed in the
+    # same job, via the same join with norm) instead of its own
+    # checkpoint: each localCheckpoint is a full job with a serial
+    # schedule/collect tail, and at small widths two barriers were a
+    # measurable Amdahl fraction of pairgen (round-4 profile: pairgen
+    # scaled 2.7x of a 4x core budget with two barriers). History of the
+    # barrier count: round 3 ran two checkpoints CONCURRENTLY from
+    # driver threads — 2x CPU from per-executor oversubscription
+    # (measured 1168 vs 564 cpu-s at 216k files / 8 cores); round 4 made
+    # them sequential; round 5 folds them into one.
+    sig_key_cols = [F.col("file_id").alias("id"), F.col("lang")]
+    if cfg.phonetic_blocking:
+        from .functions.phonetic import phonetic_block_key, skeleton_key
+
+        pkey = (
+            skeleton_key(F.col("path_stem"))
+            if cfg.phonetic_kind == "skeleton"
+            else phonetic_block_key(F.col("path_stem"))
         )
-        .join(norm.select(F.col("file_id").alias("id"), "lang"), "id")
-        .select("id", "lang", "sig")
+        sig_key_cols.append(pkey.alias("pkey"))
+    sigs_plan = minhash_signatures(
+        norm.select(F.col("file_id").alias("id"), "lang", "content_norm"),
+        "id",
+        "content_norm",
+        shingle_n=cfg.shingle_n,
+        num_perm=cfg.num_perm,
+        seed=cfg.seed,
+        hash_mode=cfg.hash_mode,
+        n_docs=n_docs,
+    ).join(norm.select(*sig_key_cols), "id")
+    sigs = sigs_plan.select(
+        "id", "lang", "sig", *(["pkey"] if cfg.phonetic_blocking else [])
+    ).localCheckpoint()
+    keyed = (
+        sigs.select("id", "lang", "pkey").filter(F.col("pkey") != "")
+        if cfg.phonetic_blocking
+        else None
     )
-    # materialize the two checkpoints SEQUENTIALLY. Round 3 ran them from
-    # two driver threads to fill each other's task tails — but two
-    # concurrent jobs each schedule a full complement of tasks, so a
-    # W-core executor runs 2W heavy Arrow/interpreted tasks at once.
-    # Oversubscription doesn't average out: it doubles the allocation
-    # rate and working set per core, pushing G1 into back-to-back
-    # concurrent cycles (kernel-stack-sampled as the scaling-gap storm).
-    # Measured at 216k files / 8 cores: concurrent 1168 cpu-s / 167 s
-    # e2e vs sequential 564 cpu-s / 78 s — the tail-filling win is noise
-    # against the 2x CPU cost. On a real cluster concurrent jobs face
-    # the same per-executor oversubscription.
-    keyed_plan = (
-        _phonetic_keyed(norm, cfg) if cfg.phonetic_blocking else None
-    )
-    sigs = sigs_plan.localCheckpoint()
-    keyed = keyed_plan.localCheckpoint() if keyed_plan is not None else None
     r = cfg.num_perm // cfg.bands
 
     def band_key(b):
@@ -224,7 +233,8 @@ def candidate_block_pairs(
     # scoring stage; checkpointing KB-sized arrays per pair would dominate
     # the stage's write cost for nothing
     pairs = (
-        salted_join(probe, build, ["lang", "band", "bucket"], scale)
+        salted_join(probe, build, ["lang", "band", "bucket"], scale,
+                    probe_salt_cols=["id_l"])
         .filter(F.col("id_l") < F.col("id_r"))
     )
     if scale.max_pairs_per_block is not None:
@@ -393,12 +403,19 @@ def score_pairs(
     #      row under W-way concurrency.
     # mapInPandas has NO JVM-side row queue — batches stream to python,
     # only the slim result rows come back — and numpy's sort-merge
-    # intersect1d does the set math allocation-free. Exactness is
-    # preserved (exact set intersection over the hashed shingle sets;
-    # identical to array_intersect semantics on distinct arrays), so the
-    # md5-mode DuckDB oracle still matches hash-for-hash. JW reuses the
-    # same scalar (jaro_winkler_similarity) the Arrow udf wrapped, with
-    # the same per-batch pair memo (path stems repeat heavily).
+    # intersect1d does the set math allocation-free. On NON-NULL inputs
+    # the jaccard is the exact set intersection over the hashed shingle
+    # sets (identical to array_intersect semantics on distinct arrays),
+    # so the md5-mode DuckDB oracle still matches hash-for-hash. NULL
+    # semantics are DELIBERATELY stricter than the old native jaccard_col
+    # (which let a one-sided NULL fall through to 1.0): NULL is treated
+    # as the empty set, so no-shingles-vs-no-shingles -> 1.0 but
+    # no-shingles-vs-some -> 0.0 — a file with no content cannot
+    # fuzzy-match one that has some. Pinned by
+    # tests/test_repos_job.py::test_score_pairs_matches_native_kernels.
+    # JW reuses the same scalar (jaro_winkler_similarity) the Arrow udf
+    # wrapped, with the same per-batch pair memo (path stems repeat
+    # heavily).
     import numpy as np
     import pandas as pd
 
@@ -496,7 +513,16 @@ def pairwise_f1(clusters: DataFrame, labels: DataFrame) -> dict:
             "left",
         )
     )
-    same = F.col("c_l").isNotNull() & (F.col("c_l") == F.col("c_r"))
+    # both-sides-non-null guard FIRST: `False & NULL` is False in SQL, so
+    # every labeled pair lands in exactly one of tp/fn/fp even when one
+    # side's file is missing from the clustering (a bare `c_l == c_r`
+    # with one NULL side evaluates to SQL NULL and the pair would drop
+    # out of the aggregate entirely, silently inflating recall)
+    same = (
+        F.col("c_l").isNotNull()
+        & F.col("c_r").isNotNull()
+        & (F.col("c_l") == F.col("c_r"))
+    )
     row = j.agg(
         F.sum(F.when(F.col("is_match") & same, 1).otherwise(0)).alias("tp"),
         F.sum(F.when(F.col("is_match") & ~same, 1).otherwise(0)).alias("fn"),

@@ -48,27 +48,33 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        # 8g, NOT "as much as the box has": on this sandbox's Firecracker
-        # kernel a 48g max-heap JVM intermittently degrades into a kernel-
-        # side storm — executor task threads burn ~100% SYSTEM time (same
-        # job: 175 cpu-s clean vs 900-1800 cpu-s storming; user-time
-        # constant, all inflation is sys) — consistent with stage-2 page-
-        # table/commit churn on the huge sparse reservation. 8g measured
-        # clean across repeated runs, and no workload here needs more
-        # (sf0.1 inputs are ~100 MB; executors on a real cluster size
-        # their own heaps via spark-submit).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # host-sized with an 8g floor and 16g cap, NOT "as much as the
+        # box has": on this sandbox's Firecracker kernel a 48g max-heap
+        # JVM intermittently degrades into a kernel-side storm —
+        # executor task threads burn ~100% SYSTEM time (same job: 175
+        # cpu-s clean vs 900-1800 cpu-s storming; user-time constant,
+        # all inflation is sys) — consistent with stage-2 page-table/
+        # commit churn on the huge sparse reservation. 8g measured clean
+        # across repeated runs; the host/4 term keeps small hosts from
+        # over-committing (a consumer on a 16 GiB laptop gets the 8g
+        # floor, not a heap bigger than their RAM would like). Override
+        # with SPARK_GRAFT_DRIVER_MEM (see README "Memory defaults").
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    if not os.environ.get("SPARK_LOCAL_DIRS") and os.path.isdir("/dev/shm"):
+    if not os.environ.get("SPARK_LOCAL_DIRS") and _shm_usable():
         # shuffle/spill/checkpoint blocks on tmpfs: this sandbox's ext4
         # root sits on a virtio disk whose buffered-write path is slow
         # enough that concurrent shuffle writers burn whole cores in
         # SYSTEM time (kernel-stack-sampled: ext4_da_write_end under 8
         # writers). A real cluster points spark.local.dir at fast local
-        # SSDs; tmpfs is this box's equivalent. SPARK_LOCAL_DIRS (the
-        # standard env) overrides.
+        # SSDs; tmpfs is this box's equivalent. Guarded: only chosen
+        # when /dev/shm actually has headroom (Docker caps it at 64 MB
+        # by default — spilling there would ENOSPC, and tmpfs pages
+        # compete with the page cache for RAM), and both directions are
+        # overridable (SPARK_GRAFT_SHM_LOCAL_DIR=1 forces it on, =0 off;
+        # SPARK_LOCAL_DIRS, the standard env, always wins).
         shm_dir = "/dev/shm/spark-local"
         os.makedirs(shm_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", shm_dir)
@@ -117,6 +123,47 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
     return spark
+
+
+#: minimum free tmpfs space before /dev/shm is auto-chosen for
+#: spark.local.dir — below this, shuffle spill would ENOSPC (Docker's
+#: default /dev/shm is 64 MB) and the ext4 fallback is the safe choice
+_SHM_MIN_FREE_BYTES = 8 << 30
+
+
+def _shm_usable() -> bool:
+    """True iff /dev/shm should host spark.local.dir: forced on/off via
+    SPARK_GRAFT_SHM_LOCAL_DIR=1/0, else auto — present AND at least
+    ``_SHM_MIN_FREE_BYTES`` free (capacity is checked at session build;
+    a run that later outgrows tmpfs should set SPARK_LOCAL_DIRS)."""
+    forced = os.environ.get("SPARK_GRAFT_SHM_LOCAL_DIR")
+    if forced == "1":
+        return os.path.isdir("/dev/shm")
+    if forced == "0":
+        return False
+    if not os.path.isdir("/dev/shm"):
+        return False
+    try:
+        st = os.statvfs("/dev/shm")
+    except OSError:
+        return False
+    return st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES
+
+
+def _default_driver_mem() -> str:
+    """max(8g, min(16g, host_ram/4)) — floor keeps broadcasts/collects
+    comfortable, cap avoids the huge-sparse-heap kernel storms measured
+    on this sandbox (see the builder comment)."""
+    total_gb = 0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    break
+    except OSError:
+        pass
+    return f"{max(8, min(16, total_gb // 4))}g"
 
 
 def _local_n(master: str) -> int | None:

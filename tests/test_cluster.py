@@ -118,3 +118,40 @@ def test_star_rounds_have_no_window_and_survive_hub_skew(spark):
     got = _run(spark, hub_edges)
     want = _oracle(hub_edges)
     assert got == want
+
+
+def test_cc_small_graph_uses_window_node_min(spark):
+    """r5 size-adaptive node-min: a graph under cc_window_max_edges runs
+    the one-shuffle window path (no join-back) — recovers the ~46%
+    small-scale clustering cost the always-aggregate r4 path paid
+    (VERDICT r4 #6) — while forcing the bound to 0 exercises the
+    skew-safe aggregate path end-to-end. Both must agree with the
+    union-find oracle, and the window path's plan must actually window."""
+    from registry_address_matcher_spark.config import ScaleConfig
+    from registry_address_matcher_spark.operators.cluster import _node_min
+
+    rng = np.random.RandomState(11)
+    nodes = [f"n{i:03d}" for i in range(50)]
+    edges = [(nodes[rng.randint(50)], nodes[rng.randint(50)]) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]).astype(str))
+    want = _oracle(edges)
+
+    # default config: small graph -> window path
+    got_window = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    # forced aggregate path (the 10^12-scale configuration)
+    got_agg = {
+        r.node: r.component
+        for r in connected_components(df, ScaleConfig(cc_window_max_edges=0)).collect()
+    }
+    assert got_window == want
+    assert got_agg == want
+
+    # the window variant of _node_min really is a window (and the
+    # default stays aggregate) — pin both plan shapes
+    plan_w = _node_min(df, 2, window_ok=True)._jdf.queryExecution().executedPlan().toString()
+    plan_a = _node_min(df, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan_w, plan_w
+    assert "Window" not in plan_a, plan_a

@@ -187,3 +187,113 @@ def test_pairwise_f1_matches_driver_loop(spark, repos_fixture):
     recall = tp / (tp + fn) if tp + fn else 1.0
     f1 = 2 * precision * recall / (precision + recall)
     assert abs(got["f1"] - f1) < 1e-9
+
+
+def test_score_pairs_matches_native_kernels(spark):
+    """ADVICE r4: pin the mapInPandas scoring kernel against the native
+    jaccard_col + jaro_winkler_udf pair it replaced, including the
+    deliberate NULL-semantics difference: NULL ≡ empty shingle set, so two
+    no-shingle files score jaccard 1.0 and no-shingles-vs-some 0.0 (the old
+    native column let a one-sided NULL fall through to 1.0 — a file with
+    no content must not fuzzy-match one that has some)."""
+    from registry_address_matcher_spark.operators.dedup import jaccard_col
+    from registry_address_matcher_spark.functions.similarity import jaro_winkler_udf
+    from registry_address_matcher_spark.repos_pipeline import (
+        ReposMatchConfig,
+        normalize_repos,
+        score_pairs,
+        shingle_side,
+    )
+
+    cfg = ReposMatchConfig()
+    rows = [
+        ("r1", "a/handler.py", "c1", "py", "def handle(request): return dispatch(request, ROUTES)"),
+        ("r2", "b/handlers.py", "c2", "py", "def handle(request): return dispatch(request, ROUTES)  # fork"),
+        ("r3", "c/unrelated.py", "c3", "py", "class Widget:\n    pass"),
+        ("r4", "d/tiny.py", "c4", "py", "x=1"),  # shorter than shingle_n -> empty set
+        ("r5", "e/tiny2.py", "c5", "py", "y=2"),  # empty set too
+    ]
+    repos = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    norm = normalize_repos(repos)
+    side = shingle_side(norm, cfg)
+    ids = {r.path_stem: r.file_id for r in norm.select("file_id", "path_stem").collect()}
+    pair_rows = [
+        (ids["handler"], ids["handlers"]),
+        (ids["handler"], ids["unrelated"]),
+        (ids["handler"], ids["tiny"]),   # one-side-empty -> jaccard 0.0
+        (ids["tiny"], ids["tiny2"]),      # both-empty -> jaccard 1.0
+    ]
+    pairs = spark.createDataFrame(
+        [("py", a, b) for a, b in pair_rows], "lang string, id_l string, id_r string"
+    )
+
+    got = {
+        (r.id_l, r.id_r): r
+        for r in score_pairs(pairs, norm, cfg, checkpoint_side=False).collect()
+    }
+    native = (
+        pairs.join(side.select(F.col("file_id").alias("id_l"),
+                               F.col("path_stem").alias("stem_l"),
+                               F.col("sh").alias("sh_l")), "id_l")
+        .join(side.select(F.col("file_id").alias("id_r"),
+                          F.col("path_stem").alias("stem_r"),
+                          F.col("sh").alias("sh_r")), "id_r")
+        .select(
+            "id_l", "id_r",
+            jaccard_col(F.col("sh_l"), F.col("sh_r")).alias("jac"),
+            jaro_winkler_udf(F.col("stem_l"), F.col("stem_r")).alias("jw"),
+        )
+    )
+    for r in native.collect():
+        g = got[(r.id_l, r.id_r)]
+        assert abs(g.jaccard - r.jac) < 1e-12, (r.id_l, r.id_r, g.jaccard, r.jac)
+        assert abs(g.jw - r.jw) < 1e-12
+
+    # NULL shingle sets: only reachable via a caller-supplied side table
+    # (shingle_side maps NULL content to an EMPTY array) — pin the
+    # kernel's semantics directly
+    null_side = side.withColumn(
+        "sh",
+        F.when(F.col("path_stem").isin("handler", "tiny"), F.lit(None)).otherwise(
+            F.col("sh")
+        ),
+    )
+    got_null = {
+        (r.id_l, r.id_r): r
+        for r in score_pairs(
+            pairs, norm, cfg, checkpoint_side=False, side=null_side
+        ).collect()
+    }
+    assert got_null[(ids["handler"], ids["handlers"])].jaccard == 0.0  # NULL vs non-empty
+    assert got_null[(ids["handler"], ids["tiny"])].jaccard == 1.0  # both NULL
+    assert got_null[(ids["tiny"], ids["tiny2"])].jaccard == 1.0  # NULL ≡ empty
+
+
+def test_pairwise_f1_counts_null_components(spark):
+    """ADVICE r4: a labeled pair whose right side is missing from the
+    clustering must land in exactly one bucket (fn for a true pair), not
+    silently drop out of the aggregate — and two missing files are NOT
+    'the same cluster' (the pandas None == None trap)."""
+    from registry_address_matcher_spark.repos_pipeline import pairwise_f1
+
+    clusters = spark.createDataFrame(
+        [("a", "A", "s"), ("b", "A", "s"), ("c", "C", "s")],
+        "file_id string, component string, content_sha string",
+    )
+    labels = spark.createDataFrame(
+        [
+            ("a", "b", True),   # tp
+            ("a", "c", True),   # fn (different components)
+            ("a", "zz", True),  # fn (right side unclustered)
+            ("zz", "ww", True), # fn (both unclustered -> NOT same)
+            ("a", "c", False),  # true negative, no bucket
+            ("b", "zz", False), # true negative (null side, same=False)
+        ],
+        "left_id string, right_id string, is_match boolean",
+    )
+    got = pairwise_f1(clusters, labels)
+    assert (got["tp"], got["fn"], got["fp"]) == (1, 3, 0)
+    assert got["precision"] == 1.0
+    assert abs(got["recall"] - 0.25) < 1e-9

@@ -1,0 +1,58 @@
+"""Session-factory policy helpers (pure functions — no SparkSession).
+
+ADVICE r4: the tmpfs local-dir default must not fire on hosts where
+/dev/shm is tiny (Docker's 64 MB default), and the driver-memory default
+is host-sized with an 8g floor / 16g cap instead of a fixed constant.
+"""
+
+import os
+
+import pytest
+
+from registry_address_matcher_spark.session import (
+    _default_driver_mem,
+    _local_cluster_shape,
+    _local_n,
+    _shm_usable,
+)
+
+
+def test_default_driver_mem_bounds():
+    mem = _default_driver_mem()
+    assert mem.endswith("g")
+    assert 8 <= int(mem[:-1]) <= 16
+
+
+def test_shm_forced_off(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SHM_LOCAL_DIR", "0")
+    assert _shm_usable() is False
+
+
+def test_shm_forced_on(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SHM_LOCAL_DIR", "1")
+    assert _shm_usable() == os.path.isdir("/dev/shm")
+
+
+def test_shm_auto_requires_headroom(monkeypatch):
+    """Auto mode must check actual free space: a 64 MB tmpfs (the Docker
+    default) is rejected, a roomy one accepted."""
+    import registry_address_matcher_spark.session as S
+
+    monkeypatch.delenv("SPARK_GRAFT_SHM_LOCAL_DIR", raising=False)
+
+    class FakeStat:
+        def __init__(self, avail_bytes):
+            self.f_bavail = avail_bytes // 4096
+            self.f_frsize = 4096
+
+    monkeypatch.setattr(S.os, "statvfs", lambda p: FakeStat(64 << 20))
+    assert S._shm_usable() is False
+    monkeypatch.setattr(S.os, "statvfs", lambda p: FakeStat(32 << 30))
+    assert S._shm_usable() == os.path.isdir("/dev/shm")
+
+
+def test_master_parsers():
+    assert _local_n("local[8]") == 8
+    assert _local_n("local[*]") is None
+    assert _local_cluster_shape("local-cluster[4,2,4096]") == (4, 2)
+    assert _local_cluster_shape("local[8]") is None
