@@ -788,7 +788,12 @@ def q_repos_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = ReposMatchConfig(threshold=0.6, hash_mode="md5", phonetic_kind="skeleton")
     norm = normalize_repos(repos)
     exact = exact_content_pairs(norm)
-    scored = score_pairs(candidate_block_pairs(norm, cfg), norm, cfg)
+    # side reuse: in md5 mode the checkpoint-carried hashed shingle sets
+    # are value-identical to shingle_side's (both cross_hash60 % p), so
+    # the oracle still matches hash-for-hash
+    side_out: list = []
+    cand = candidate_block_pairs(norm, cfg, side_out=side_out)
+    scored = score_pairs(cand, norm, cfg, side=side_out[0])
     pairs = accepted_pairs(scored, cfg).unionByName(
         exact.select("id_l", "id_r", "score", "match_type")
     ).dropDuplicates(["id_l", "id_r"])

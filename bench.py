@@ -87,6 +87,27 @@ def _tree_cpu_seconds() -> float:
     return total
 
 
+def _pin_cpus(n: int | None) -> bool:
+    """Pin THIS process (and every future child: the Spark JVM, its
+    Python workers) to CPUs 0..n-1. This is what makes a local[N]
+    scaling level honest: without it, local[N] caps TASK slots only —
+    GC/shuffle/netty helper threads and the OS scheduler still use the
+    whole box, so a nominal 2-core run consumes >2 cores of CPU
+    (measured cpu_util 1.12 at local[2]) and flatters the scaling
+    denominator. A real cluster's N-core executor container is
+    cpuset-bound exactly like this: helpers compete with task threads
+    INSIDE the slice. Opt out with RAM_SPARK_NO_AFFINITY=1 (e.g. when
+    CPUs 0..n-1 are busy and n others are free). Returns True if
+    pinned."""
+    if not n or os.environ.get("RAM_SPARK_NO_AFFINITY"):
+        return False
+    try:
+        os.sched_setaffinity(0, set(range(n)))
+        return True
+    except (AttributeError, OSError):
+        return False
+
+
 def _master_for(cores: int | None, executors: int | None, exec_mem_mb: int = 6144) -> str | None:
     """Scaling runs use local-cluster[N,1,mem] — N REAL executor JVMs
     (separate processes, own heaps/GC, per-executor Python workers), the
@@ -310,10 +331,11 @@ def run_repos_scaling_job(
     ncores = executors or cores or os.cpu_count()
     c0 = _tree_cpu_seconds()
     t0 = time.time()
-    pairs = candidate_block_pairs(norm, cfg, n_docs=n_files).persist()
+    side_out: list = []
+    pairs = candidate_block_pairs(norm, cfg, n_docs=n_files, side_out=side_out).persist()
     n_pairs = pairs.count()
     t1 = time.time()
-    scored = score_pairs(pairs, norm, cfg, n_pairs=n_pairs)
+    scored = score_pairs(pairs, norm, cfg, n_pairs=n_pairs, side=side_out[0])
     row = scored.agg(
         F.count(F.lit(1)).alias("n"), F.avg("score").alias("avg")
     ).collect()[0]
@@ -383,8 +405,9 @@ def run_repos_f1(cores: int | None, n_base: int = 72000) -> dict:
     n_files = norm.count()
     t0 = time.time()
     exact = exact_content_pairs(norm)
-    cand = candidate_block_pairs(norm, cfg, n_docs=n_files).persist()
-    scored = score_pairs(cand, norm, cfg, n_pairs=cand.count())
+    side_out: list = []
+    cand = candidate_block_pairs(norm, cfg, n_docs=n_files, side_out=side_out).persist()
+    scored = score_pairs(cand, norm, cfg, n_pairs=cand.count(), side=side_out[0])
     acc = accepted_pairs(scored, cfg)
     pairs = acc.unionByName(
         exact.select("id_l", "id_r", "score", "match_type")
@@ -416,14 +439,10 @@ def run_repos_stage_profile(
 
     from registry_address_matcher_spark.repos_pipeline import (
         ReposMatchConfig,
-        _phonetic_pairs_from_keyed,
+        candidate_block_pairs,
         normalize_repos,
         score_pairs,
-        shingle_side,
     )
-    from registry_address_matcher_spark.functions.phonetic import phonetic_block_key
-    from registry_address_matcher_spark.operators.blocking import salted_join
-    from registry_address_matcher_spark.operators.dedup import minhash_signatures
     from registry_address_matcher_spark.session import get_spark
     from registry_address_matcher_spark.synth import make_repos
 
@@ -445,50 +464,22 @@ def run_repos_stage_profile(
         }
         return out
 
-    # mirrors candidate_block_pairs' r5 structure: ONE checkpoint barrier
-    # carrying both the signatures and the phonetic key
-    sigs = stage("sigs_ckpt", lambda: (
-        minhash_signatures(
-            norm.select(F.col("file_id").alias("id"), "lang", "content_norm"),
-            "id", "content_norm", shingle_n=cfg.shingle_n,
-            num_perm=cfg.num_perm, seed=cfg.seed, hash_mode=cfg.hash_mode,
-            n_docs=n_files,
-        )
-        .join(norm.select(
-            F.col("file_id").alias("id"), "lang",
-            phonetic_block_key(F.col("path_stem")).alias("pkey"),
-        ), "id")
-        .select("id", "lang", "sig", "pkey").localCheckpoint()
-    ))
-    keyed = sigs.select("id", "lang", "pkey").filter(F.col("pkey") != "")
-    r = cfg.num_perm // cfg.bands
-
-    def band_key(b):
-        joined = F.concat_ws(
-            ",",
-            F.transform(F.slice(F.col("sig"), b * r + 1, r), lambda v: v.cast("string")),
-        )
-        return joined if cfg.hash_mode == "md5" else F.xxhash64(joined).cast("string")
-
-    banded = sigs.select(
-        "id", "lang",
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.lit(cfg.bands - 1)), band_key)
-        ).alias("band", "bucket"),
-    )
-    probe = banded.select("lang", "band", "bucket", F.col("id").alias("id_l"))
-    build = banded.select("lang", "band", "bucket", F.col("id").alias("id_r"))
-    band_pairs = (
-        salted_join(probe, build, ["lang", "band", "bucket"], probe_salt_cols=["id_l"])
-        .filter(F.col("id_l") < F.col("id_r"))
-        .select("lang", "id_l", "id_r")
-        .unionByName(_phonetic_pairs_from_keyed(keyed, cfg))
-        .dropDuplicates(["id_l", "id_r"])
-    )
-    pairs = band_pairs.persist()
+    # profiles the REAL pipeline functions (r4's hand-mirrored copy
+    # drifted from the shipped code — the very staleness VERDICT r4
+    # flagged). candidate_block_pairs' eager localCheckpoint runs at
+    # call time, so the two pairgen halves split cleanly:
+    #   sigs_ckpt  - the one checkpoint barrier (minhash kernel +
+    #                phonetic key + hashed shingle sets, one job)
+    #   band_join  - band explode + salted join + cap + phonetic union
+    #                + dedup, forced by the pair count
+    #   score_agg  - pair-side joins + the scoring kernel (side table
+    #                reused from the checkpoint, no separate stage)
+    side_out: list = []
+    pairs = stage("sigs_ckpt", lambda: candidate_block_pairs(
+        norm, cfg, n_docs=n_files, side_out=side_out
+    ).persist())
     n_pairs = stage("band_join", lambda: pairs.count())
-    side = stage("side_ckpt", lambda: shingle_side(norm, cfg).localCheckpoint())
-    scored = score_pairs(pairs, norm, cfg, n_pairs=n_pairs, side=side)
+    scored = score_pairs(pairs, norm, cfg, n_pairs=n_pairs, side=side_out[0])
     stage("score_agg", lambda: scored.agg(
         F.count(F.lit(1)).alias("n"), F.avg("score").alias("avg")).collect()[0])
     out = {
@@ -849,14 +840,20 @@ def main() -> None:
                     exec_levels=exec_levels, exec_json=args.exec_json)
         return
     if args.scaling_worker:
+        if not args.executors:
+            _pin_cpus(args.cores)
         print(json.dumps(run_scaling_job(args.sf_dir, args.cores, args.replicate,
                                          executors=args.executors)))
         return
     if args.repos_scaling_worker:
+        if not args.executors:
+            _pin_cpus(args.cores)
         print(json.dumps(run_repos_scaling_job(args.cores, n_base=args.repos_base,
                                                executors=args.executors)))
         return
     if args.repos_stage_profile:
+        if not args.executors:
+            _pin_cpus(args.cores)
         print(json.dumps(run_repos_stage_profile(args.cores, n_base=args.repos_base,
                                                  executors=args.executors)))
         return

@@ -89,17 +89,28 @@ def main(argv: list[str] | None = None) -> int:
     n_files = assert_unique_file_ids(norm)  # (repo, path, commit) must be a key
     exact = timed("exact", lambda: exact_content_pairs(norm))
     trunc_reports: list = []
+    side_out: list = []
     cand = timed(
         "blocking",
         lambda: candidate_block_pairs(
-            norm, cfg, scale, n_docs=n_files, truncation_reports=trunc_reports
+            norm, cfg, scale, n_docs=n_files,
+            truncation_reports=trunc_reports, side_out=side_out,
         ),
     )
     # the blocking stage is snapshot-materialized by run_stage, so this
     # count reads the checkpoint — it sizes the scoring partitions at a
     # constant pairs-per-partition across cluster sizes
     n_cand = cand.count()
-    scored = timed("scoring", lambda: score_pairs(cand, norm, cfg, n_pairs=n_cand))
+    # side_out is only populated when the blocking builder actually ran
+    # (a --resume run snapshots past it); empty -> score_pairs builds its
+    # own shingle side table
+    scored = timed(
+        "scoring",
+        lambda: score_pairs(
+            cand, norm, cfg, n_pairs=n_cand,
+            side=side_out[0] if side_out else None,
+        ),
+    )
     accepted = timed("accepted", lambda: accepted_pairs(scored, cfg))
     all_pairs = accepted.unionByName(
         exact.select("id_l", "id_r", F.col("score"), "match_type")

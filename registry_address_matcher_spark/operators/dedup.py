@@ -191,6 +191,7 @@ def minhash_signatures(
     hash_mode: str = "xxhash64",
     n_docs: int | None = None,
     docs_per_partition: int = 4_000,
+    keep_hashed_shingles: bool = False,
 ) -> DataFrame:
     """DataFrame[id, shingles array<string>, sig array<long>].
 
@@ -198,6 +199,16 @@ def minhash_signatures(
     external SQL engines (shingle hash = :func:`cross_hash60`, permutation
     params = :func:`minhash_params_md5`) at ~3x the hashing cost —
     xxhash64 stays the scale default.
+
+    ``keep_hashed_shingles`` adds ``sh`` — the distinct hashed shingle
+    SET the signature was computed over (``array<long>``) — so a
+    downstream shingle-Jaccard scoring stage can reuse it instead of
+    re-hashing the corpus (the repos pipeline folds it into its one
+    checkpoint and saves an entire materialization stage). In md5 mode
+    ``sh`` is value-identical to :func:`~..repos_pipeline.shingle_side`'s
+    hashing (both ``cross_hash60 % p``); in xxhash64 mode it carries the
+    kernel's ``abs(xxhash64)`` — a sign-fold whose extra collision odds
+    are ~|sh|^2/2^63 per doc, immaterial for Jaccard.
 
     ``n_docs`` (a caller-known row count — never computed here, no
     plan-build action) sizes the kernel stage at a constant
@@ -232,7 +243,10 @@ def minhash_signatures(
     base = df.select(
         F.col(id_col).alias("id"), sh.alias("shingles"), hashed.alias("__h")
     ).repartition(n_part, "id")
-    return base.select("id", "shingles", mh(F.col("__h")).alias("sig"))
+    out = ["id", "shingles", mh(F.col("__h")).alias("sig")]
+    if keep_hashed_shingles:
+        out.append(F.array_distinct("__h").alias("sh"))
+    return base.select(*out)
 
 
 def minhash_lsh_pairs(

@@ -142,12 +142,55 @@ def exact_content_pairs(norm: DataFrame) -> DataFrame:
     )
 
 
+def banded_ids(sigs: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
+    """(id, lang, band, bucket) — one row per (doc, band). Ids ONLY: the
+    shingle arrays (KBs per doc) must not ride through the 16x band
+    explode and its shuffle; scoring re-attaches per-doc data afterwards
+    (two narrow joins instead of a 16x-duplicated wide shuffle).
+
+    Two spellings of the bucket key:
+
+    * md5 mode — the raw comma-joined slice string via higher-order
+      ``transform``/``slice``: cross-engine reproducible (the DuckDB
+      oracle builds the identical string), correctness path only.
+    * xxhash64 mode (scale default) — ``xxhash64(band, sig[i]...)`` over
+      ``element_at`` projections: every expression whole-stage-codegens,
+      where the higher-order form is INTERPRETED and allocation-heavy
+      (an r5 profile had the band evaluation as the top CPU inflater at
+      width — interpreted eval allocates per row, and G1 pressure grows
+      superlinearly with concurrent task threads).
+    """
+    r = cfg.num_perm // cfg.bands
+    if cfg.hash_mode == "md5":
+        def band_key(b):
+            return F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * r + 1, r), lambda v: v.cast("string")
+                ),
+            )
+    else:
+        def band_key(b):
+            return F.xxhash64(
+                F.lit(b), *[F.element_at("sig", b * r + i) for i in range(1, r + 1)]
+            ).cast("string")
+
+    entries = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
+            for b in range(cfg.bands)
+        ]
+    )
+    return sigs.select("id", "lang", F.inline(entries))
+
+
 def candidate_block_pairs(
     norm: DataFrame,
     cfg: ReposMatchConfig,
     scale: ScaleConfig | None = None,
     n_docs: int | None = None,
     truncation_reports: list | None = None,
+    side_out: list | None = None,
 ) -> DataFrame:
     """Blocking: (lang, MinHash band bucket) — skew-salted equi-self-join.
 
@@ -160,6 +203,14 @@ def candidate_block_pairs(
     ``truncation_reports`` to receive the per-block truncation report
     DataFrame for the lineage sidecar. The phonetic path needs no cap:
     it drops blocks above ``cfg.phonetic_block_cap`` rows entirely.
+
+    Pass a list as ``side_out`` to ALSO receive the per-doc scoring side
+    table (file_id, path_stem, sh) carried through the same checkpoint —
+    the hashed shingle sets here are the very arrays the MinHash kernel
+    hashed, so handing them to :func:`score_pairs` (its ``side`` param)
+    removes the scoring stage's own shingle re-hash + second
+    materialization barrier (round-5 profile: an entire ~40 s /
+    ~50 cpu-s stage at 108k files / 2 cores).
     """
     scale = scale or ScaleConfig()
     # ONE eager localCheckpoint covers BOTH candidate sources: the
@@ -188,6 +239,11 @@ def candidate_block_pairs(
             else phonetic_block_key(F.col("path_stem"))
         )
         sig_key_cols.append(pkey.alias("pkey"))
+    if side_out is not None:
+        sig_key_cols.append(F.col("path_stem"))
+    extra = (["pkey"] if cfg.phonetic_blocking else []) + (
+        ["path_stem", "sh"] if side_out is not None else []
+    )
     sigs_plan = minhash_signatures(
         norm.select(F.col("file_id").alias("id"), "lang", "content_norm"),
         "id",
@@ -197,36 +253,19 @@ def candidate_block_pairs(
         seed=cfg.seed,
         hash_mode=cfg.hash_mode,
         n_docs=n_docs,
+        keep_hashed_shingles=side_out is not None,
     ).join(norm.select(*sig_key_cols), "id")
-    sigs = sigs_plan.select(
-        "id", "lang", "sig", *(["pkey"] if cfg.phonetic_blocking else [])
-    ).localCheckpoint()
+    sigs = sigs_plan.select("id", "lang", "sig", *extra).localCheckpoint()
+    if side_out is not None:
+        side_out.append(
+            sigs.select(F.col("id").alias("file_id"), "path_stem", "sh")
+        )
     keyed = (
         sigs.select("id", "lang", "pkey").filter(F.col("pkey") != "")
         if cfg.phonetic_blocking
         else None
     )
-    r = cfg.num_perm // cfg.bands
-
-    def band_key(b):
-        joined = F.concat_ws(
-            ",",
-            F.transform(F.slice(F.col("sig"), b * r + 1, r), lambda v: v.cast("string")),
-        )
-        # md5 mode keeps the raw slice string (cross-engine); xxhash64
-        # compresses it to int64 — fewer shuffle bytes at scale
-        return joined if cfg.hash_mode == "md5" else F.xxhash64(joined).cast("string")
-
-    # band on ids ONLY — the shingle arrays (KBs per doc) must not ride
-    # through the 16x band explode and its shuffle; they are re-attached
-    # to the deduped pair table afterwards (two narrow joins instead of a
-    # 16x-duplicated wide shuffle)
-    banded = sigs.select(
-        "id", "lang",
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.lit(cfg.bands - 1)), band_key)
-        ).alias("band", "bucket"),
-    )
+    banded = banded_ids(sigs, cfg)
     probe = banded.select("lang", "band", "bucket", F.col("id").alias("id_l"))
     build = banded.select("lang", "band", "bucket", F.col("id").alias("id_r"))
     # output is id pairs only — shingles are re-derived natively by the
@@ -361,24 +400,6 @@ def score_pairs(
         side = shingle_side(norm, cfg)
         if checkpoint_side:
             side = side.localCheckpoint()
-    p = (
-        pairs.join(
-            side.select(
-                F.col("file_id").alias("id_l"),
-                F.col("path_stem").alias("stem_l"),
-                F.col("sh").alias("sh_l"),
-            ),
-            "id_l",
-        )
-        .join(
-            side.select(
-                F.col("file_id").alias("id_r"),
-                F.col("path_stem").alias("stem_r"),
-                F.col("sh").alias("sh_r"),
-            ),
-            "id_r",
-        )
-    )
     cores = pairs.sparkSession.sparkContext.defaultParallelism
     if n_pairs is not None:
         from .partitioning import cpu_stage_partitions
@@ -386,8 +407,45 @@ def score_pairs(
         n_part = cpu_stage_partitions(n_pairs, pairs_per_partition, cores)
     else:
         n_part = max(cores * 4, 8)
-    p = p.repartition(n_part, "id_l", "id_r").select(
-        "lang", "id_l", "id_r", "stem_l", "stem_r", "sh_l", "sh_r"
+    # Join shape matters — the rows get WIDE (two KB-sized shingle arrays
+    # per pair) the moment the side attaches, so every downstream
+    # exchange/sort of them is priced in GBs:
+    #   * join 1 (id_l): planner's choice — with a small pair table it
+    #     broadcasts the ids and STREAMS the side (zero wide shuffle); at
+    #     scale it degrades to a shuffle join sized by session config.
+    #   * join 2 (id_r): both inputs are explicitly co-partitioned to
+    #     ``n_part`` BEFORE the join. Left at the session shuffle count
+    #     (= cores locally), each sort-merge task sorted ~pairs/cores
+    #     wide rows; per-task execution memory SHRINKS as concurrency
+    #     grows, so the 8-core run sort-SPILLED where the 2-core run ran
+    #     in memory — measured as an anti-scaling kernel-time storm
+    #     (scoring 41 s at 2 cores vs 78-118 s at 8, sys-time bound).
+    #     Co-partitioning bounds every sort at ~pairs_per_partition rows
+    #     regardless of cluster width.
+    #   * the kernel consumes join 2's partitioning directly — the old
+    #     extra repartition(id_l, id_r) re-shuffled the full wide table
+    #     once more for nothing (ids are sha256-uniform, and per-block
+    #     pair caps bound how often one doc can appear on the build
+    #     side; AQE skew-join splits any residual hot partition).
+    p = pairs.join(
+        side.select(
+            F.col("file_id").alias("id_l"),
+            F.col("path_stem").alias("stem_l"),
+            F.col("sh").alias("sh_l"),
+        ),
+        "id_l",
+    )
+    p = (
+        p.repartition(n_part, "id_r")
+        .join(
+            side.select(
+                F.col("file_id").alias("id_r"),
+                F.col("path_stem").alias("stem_r"),
+                F.col("sh").alias("sh_r"),
+            ).repartition(n_part, "id_r"),
+            "id_r",
+        )
+        .select("lang", "id_l", "id_r", "stem_l", "stem_r", "sh_l", "sh_r")
     )
     # BOTH scorers run in ONE mapInPandas kernel. Two rejected designs,
     # both measured at 354k pairs / 216k files / 8 cores:

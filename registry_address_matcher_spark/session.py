@@ -48,18 +48,22 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        # host-sized with an 8g floor and 16g cap, NOT "as much as the
-        # box has": on this sandbox's Firecracker kernel a 48g max-heap
-        # JVM intermittently degrades into a kernel-side storm —
-        # executor task threads burn ~100% SYSTEM time (same job: 175
-        # cpu-s clean vs 900-1800 cpu-s storming; user-time constant,
-        # all inflation is sys) — consistent with stage-2 page-table/
-        # commit churn on the huge sparse reservation. 8g measured clean
-        # across repeated runs; the host/4 term keeps small hosts from
-        # over-committing (a consumer on a 16 GiB laptop gets the 8g
-        # floor, not a heap bigger than their RAM would like). Override
-        # with SPARK_GRAFT_DRIVER_MEM (see README "Memory defaults").
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem())
+        # 8g fixed, NOT host-sized: heap size correlates directly with
+        # kernel-side storms on this sandbox's Firecracker kernel —
+        # executor task threads burn ~100% SYSTEM time, consistent with
+        # stage-2 page-table/commit churn on the large sparse
+        # reservation. Measured on the identical 108k-file repos
+        # profile at 8 cores: 8g heap 340 cpu-s / 53 s wall; 16g heap
+        # 906 and 1810 cpu-s / 148 and 342 s wall (two runs, both
+        # stormy); 48g (the round-3 default) up to 10x cpu inflation.
+        # A host-RAM/4 default was tried and reverted for exactly this
+        # reason — "more heap" is strictly worse here, and no local
+        # workload needs more (sf0.1 inputs are ~100 MB; real clusters
+        # size executor heaps via spark-submit). Consumers who DO need
+        # a bigger driver (large collects/broadcasts) override with
+        # SPARK_GRAFT_DRIVER_MEM (see README "Memory & local-dir
+        # defaults").
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
@@ -148,22 +152,6 @@ def _shm_usable() -> bool:
     except OSError:
         return False
     return st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES
-
-
-def _default_driver_mem() -> str:
-    """max(8g, min(16g, host_ram/4)) — floor keeps broadcasts/collects
-    comfortable, cap avoids the huge-sparse-heap kernel storms measured
-    on this sandbox (see the builder comment)."""
-    total_gb = 0
-    try:
-        with open("/proc/meminfo") as f:
-            for line in f:
-                if line.startswith("MemTotal:"):
-                    total_gb = int(line.split()[1]) // (1024 * 1024)
-                    break
-    except OSError:
-        pass
-    return f"{max(8, min(16, total_gb // 4))}g"
 
 
 def _local_n(master: str) -> int | None:

@@ -297,3 +297,36 @@ def test_pairwise_f1_counts_null_components(spark):
     assert (got["tp"], got["fn"], got["fp"]) == (1, 3, 0)
     assert got["precision"] == 1.0
     assert abs(got["recall"] - 0.25) < 1e-9
+
+
+def test_candidate_block_pairs_side_out_matches_shingle_side(spark):
+    """r5 side reuse: the hashed shingle sets carried through the
+    blocking checkpoint must be value-identical (as sets) to what
+    shingle_side builds independently — in md5 mode both are
+    cross_hash60 % p, which is what keeps the DuckDB repos oracle exact
+    after the scoring stage switched to the carried side table."""
+    from registry_address_matcher_spark.repos_pipeline import (
+        ReposMatchConfig,
+        candidate_block_pairs,
+        normalize_repos,
+        shingle_side,
+    )
+    from registry_address_matcher_spark.synth import make_repos
+
+    repos, _ = make_repos(spark, n_base=40, seed=3)
+    cfg = ReposMatchConfig(hash_mode="md5", phonetic_kind="skeleton")
+    norm = normalize_repos(repos)
+    side_out: list = []
+    pairs = candidate_block_pairs(norm, cfg, side_out=side_out)
+    assert pairs.count() > 0
+    assert len(side_out) == 1
+
+    def as_map(df):
+        rows = df.select(
+            "file_id", "path_stem", F.array_sort("sh").alias("sh")
+        ).collect()
+        return {r.file_id: (r.path_stem, list(r.sh)) for r in rows}
+
+    got = as_map(side_out[0])
+    want = as_map(shingle_side(norm, cfg))
+    assert got == want

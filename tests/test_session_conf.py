@@ -1,8 +1,10 @@
 """Session-factory policy helpers (pure functions — no SparkSession).
 
 ADVICE r4: the tmpfs local-dir default must not fire on hosts where
-/dev/shm is tiny (Docker's 64 MB default), and the driver-memory default
-is host-sized with an 8g floor / 16g cap instead of a fixed constant.
+/dev/shm is tiny (Docker's 64 MB default). (A host-sized driver-memory
+default was tried here and reverted: bigger heaps measurably storm this
+kernel — see the get_spark builder comment — so 8g stays fixed with the
+SPARK_GRAFT_DRIVER_MEM override.)
 """
 
 import os
@@ -10,17 +12,10 @@ import os
 import pytest
 
 from registry_address_matcher_spark.session import (
-    _default_driver_mem,
     _local_cluster_shape,
     _local_n,
     _shm_usable,
 )
-
-
-def test_default_driver_mem_bounds():
-    mem = _default_driver_mem()
-    assert mem.endswith("g")
-    assert 8 <= int(mem[:-1]) <= 16
 
 
 def test_shm_forced_off(monkeypatch):
