@@ -276,6 +276,30 @@ def candidate_block_pairs(
                     probe_salt_cols=["id_l"])
         .filter(F.col("id_l") < F.col("id_r"))
     )
+    # Dedup BEFORE the cap, not after: a pair matching in k of the 16
+    # bands leaves the join k times (measured 9x at bench scale), and the
+    # old order pushed that full volume through the cap's per-(block,
+    # salt) SORT window and then again through a dropDuplicates shuffle —
+    # two full-volume passes, and the sort was the band_join stage's top
+    # CPU inflater at width. A hash aggregate on (lang, id_l, id_r) —
+    # uniform sha256-derived keys, skew-free at any scale — collapses the
+    # duplication in the one unavoidable full-volume shuffle; the cap
+    # then ranks only unique pairs. min(struct(band, bucket)) attributes
+    # each pair to its first band deterministically, so cap quotas and
+    # truncation lineage now count UNIQUE pairs per block (a strictly
+    # tighter guard than the old duplicated count — and a mega-block
+    # sheds to earlier bands whatever pairs it shares with them).
+    pairs = (
+        pairs.groupBy("lang", "id_l", "id_r")
+        .agg(F.min(F.struct("band", "bucket")).alias("__bb"))
+        .select(
+            "lang",
+            F.col("__bb.band").alias("band"),
+            F.col("__bb.bucket").alias("bucket"),
+            "id_l",
+            "id_r",
+        )
+    )
     if scale.max_pairs_per_block is not None:
         from .operators.blocking import cap_block
 
@@ -286,9 +310,13 @@ def candidate_block_pairs(
         if truncation_reports is not None:
             truncation_reports.append(report)
     pairs = pairs.select("lang", "id_l", "id_r")
-    if keyed is not None:
-        pairs = pairs.unionByName(_phonetic_pairs_from_keyed(keyed, cfg))
-    return pairs.dropDuplicates(["id_l", "id_r"])
+    if keyed is None:
+        # band pairs are already unique on (id_l, id_r): each id carries
+        # exactly one lang (both derive from the same file row)
+        return pairs
+    return pairs.unionByName(
+        _phonetic_pairs_from_keyed(keyed, cfg)
+    ).dropDuplicates(["id_l", "id_r"])
 
 
 def _phonetic_keyed(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
