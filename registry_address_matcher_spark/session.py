@@ -47,6 +47,22 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Cap Arrow batches by BYTES as well as records (Spark 4.1+).
+        # With wide rows (two ~4 KB shingle arrays per pair in the repos
+        # scoring kernel) the 10k-record cap alone builds ~80 MB batches;
+        # any single Arrow column buffer larger than the netty pooled-
+        # allocator chunk (4 MB at netty 4.2 defaults) is allocated
+        # UNPOOLED — a fresh mmap/munmap per batch. On this sandbox's
+        # virtualized kernel that page-commit churn dominated the scoring
+        # stage as SYSTEM time (measured at 354k pairs / 8 cores:
+        # 68 s wall / 278 sys cpu-s at 80 MB batches vs 13 s / 12 sys
+        # cpu-s at ~8 MB batches; 2->8 core efficiency 0.84 after the
+        # cap). On real clusters the same unpooled path exists — byte-
+        # capped batches keep every buffer inside the pool and bound
+        # python-worker peak memory, so the cap is correct off-sandbox
+        # too. Row-dominated stages (normalize, minhash over ~1 KB docs)
+        # still hit the 10k-record cap first; nothing changes for them.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(4 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         # 8g fixed, NOT host-sized: heap size correlates directly with
         # kernel-side storms on this sandbox's Firecracker kernel —
