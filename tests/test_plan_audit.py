@@ -145,3 +145,15 @@ def test_ann_literal_trees_bounded_at_production_dims(spark):
     # and the plans execute (codegen path, not just analysis)
     rows = topk_ivf(emb, probes, "vec_id", "embedding", cents, k=3, nprobe=2).collect()
     assert len(rows) > 0
+
+
+def test_arrow_batches_byte_capped(spark):
+    """The session must carry the Arrow byte cap (wide Arrow batches past
+    the netty pooled-chunk size allocate unpooled — one mmap per batch,
+    measured as a system-time storm on the repos scoring stage; see
+    session.py). Record cap alone does NOT bound wide-row batches."""
+    assert (
+        int(spark.conf.get("spark.sql.execution.arrow.maxBytesPerBatch"))
+        <= 8 * 1024 * 1024
+    )
+    assert int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")) > 0
