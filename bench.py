@@ -108,13 +108,24 @@ def _pin_cpus(n: int | None) -> bool:
         return False
 
 
+#: cores per executor JVM in local-cluster scaling runs. 2, not 1: the
+#: north rule scales EXECUTOR COUNT (N vs 4N executors), and each real
+#: executor is a multi-core container. 1-core executors made the high
+#: level pay JVM warmup (JIT/codegen/class-load, measured ~28 cpu-s per
+#: executor JVM on the 100s repos job) EIGHT times vs the low level's
+#: two — a fixed-cost artifact of the short bench job, not a property of
+#: the pipeline. N=1 vs N=4 two-core executors pays warmup 1x vs 4x on
+#: the same total-core ratio (2 vs 8).
+EXEC_CORES = 2
+
+
 def _master_for(cores: int | None, executors: int | None, exec_mem_mb: int = 6144) -> str | None:
-    """Scaling runs use local-cluster[N,1,mem] — N REAL executor JVMs
-    (separate processes, own heaps/GC, per-executor Python workers), the
-    honest in-sandbox stand-in for N cluster executors. Thread-local
+    """Scaling runs use local-cluster[N,EXEC_CORES,mem] — N REAL executor
+    JVMs (separate processes, own heaps/GC, per-executor Python workers),
+    the honest in-sandbox stand-in for N cluster executors. Thread-local
     local[N] remains for the absolute e2e bench."""
     if executors:
-        return f"local-cluster[{executors},1,{exec_mem_mb}]"
+        return f"local-cluster[{executors},{EXEC_CORES},{exec_mem_mb}]"
     return f"local[{cores}]" if cores else None
 
 
@@ -277,7 +288,7 @@ def run_scaling_job(
     n_probe = spr_rep.count()
     cad.count()
 
-    ncores = executors or cores or os.cpu_count()
+    ncores = (executors * EXEC_CORES) if executors else (cores or os.cpu_count())
     c0 = _tree_cpu_seconds()
     t0 = time.time()
     scored = score_candidates(spr_rep, cad)
@@ -328,7 +339,7 @@ def run_repos_scaling_job(
     norm = normalize_repos(repos).persist()
     n_files = norm.count()
     cfg = ReposMatchConfig()
-    ncores = executors or cores or os.cpu_count()
+    ncores = (executors * EXEC_CORES) if executors else (cores or os.cpu_count())
     c0 = _tree_cpu_seconds()
     t0 = time.time()
     side_out: list = []
@@ -452,7 +463,7 @@ def run_repos_stage_profile(
     norm = normalize_repos(repos).persist()
     n_files = norm.count()
     cfg = ReposMatchConfig()
-    ncores = executors or cores or os.cpu_count()
+    ncores = (executors * EXEC_CORES) if executors else (cores or os.cpu_count())
     stages: dict[str, dict] = {}
 
     def stage(name, fn):
@@ -507,15 +518,19 @@ def _exec_section(exec_res: dict | None, e_eff: float | None) -> str:
         for k, v in sorted(exec_res.items())
     )
     return f"""
-Third evidence line — the same repos job on **local-cluster[N,1,mem]**:
-N REAL executor JVMs (separate processes, own heaps/GC, per-executor
-Python workers), the honest in-sandbox stand-in for N cluster
+Third evidence line — the same repos job on **local-cluster[N,{EXEC_CORES},mem]**,
+the north rule's N vs {hi // lo}N EXECUTORS literally: N REAL executor JVMs
+(separate processes, own heaps/GC, per-executor Python workers,
+{EXEC_CORES} cores each), the honest in-sandbox stand-in for N cluster
 executors. Thread-local local[N] caps task slots but its single JVM's
 GC/shuffle/netty helper threads still use the whole box, flattering the
 low level's denominator; separate executor JVMs bound helpers
-per-executor the way real cluster containers do.
+per-executor the way real cluster containers do. Caveat for reading the
+cpu columns: every executor JVM pays its own warmup (JIT/codegen/
+class-load, ~25-30 cpu-s on this job), a fixed cost a short bench job
+cannot amortize — real production runs are hours, not ~100 s.
 
-| executors (1 core each) | files | pairs scored | pairgen (s) | scoring (s) | total (s) | files/sec | cpu (s) | cpu util |
+| executors ({EXEC_CORES} cores each) | files | pairs scored | pairgen (s) | scoring (s) | total (s) | files/sec | cpu (s) | cpu util |
 |---|---|---|---|---|---|---|---|---|
 {rows}
 
@@ -554,7 +569,7 @@ def run_scaling(
     repeats_hi: int | None = None,
     pair_json: str | None = None,
     repos_json: str | None = None,
-    exec_levels=(2, 8),
+    exec_levels=(1, 4),
     exec_json: str | None = None,
 ) -> None:
     """North-rule scaling evidence: identical job, two parallelism levels.
@@ -823,8 +838,9 @@ def main() -> None:
                     help="reuse pair-job results (the 'levels' JSON object)")
     ap.add_argument("--repos-json", default=None,
                     help="reuse repos-job results (the 'repos_levels' JSON object)")
-    ap.add_argument("--exec-levels", default="2,8",
-                    help="local-cluster executor counts for the third evidence line; 'none' skips")
+    ap.add_argument("--exec-levels", default="1,4",
+                    help="local-cluster executor counts (EXEC_CORES cores each) for the "
+                         "third evidence line; 'none' skips")
     ap.add_argument("--exec-json", default=None,
                     help="reuse local-cluster repos results (the 'exec_levels' JSON object)")
     args = ap.parse_args()

@@ -88,7 +88,22 @@ def salted_join(
         .drop("__salts", "__is_hot")
     )
 
-    return probe_h.join(build_h, keys + [salt_col], "inner").drop(salt_col)
+    # shuffle_hash, not sort-merge: SMJ sorts BOTH exploded sides per
+    # reducer, and the sort buffers divide the executor's execution-memory
+    # pool by the number of CONCURRENT tasks — measured on the repos band
+    # join (216k files, 7M band rows, 8 shuffle partitions), the join
+    # stage burned 35.9 cpu-s at 2 concurrent tasks but 61.2 at 8 (+70%
+    # width inflation, spill churn); the same stage hash-joined costs
+    # 39.0 cpu-s at 8 tasks (+8%). The hash build is memory-safe by
+    # construction here: hot keys are salted S ways and shuffle
+    # partitioning scales with the cluster, so a build partition is
+    # bounded (~block_rows/S per hot key) — and AQE's skew-join splitter
+    # still applies to shuffled-hash joins. Falls back to SMJ if the
+    # planner rejects the hint.
+    return (
+        probe_h.join(build_h.hint("shuffle_hash"), keys + [salt_col], "inner")
+        .drop(salt_col)
+    )
 
 
 def cap_block(

@@ -260,12 +260,23 @@ def candidate_block_pairs(
         side_out.append(
             sigs.select(F.col("id").alias("file_id"), "path_stem", "sh")
         )
+    # Slim derivatives of the fat checkpoint, persisted: the checkpoint
+    # rows carry the KB-sized `sh`/`sig` arrays, and the band+phonetic
+    # join below otherwise scans them SIX times inside one action (band
+    # probe/build + hot-key agg, phonetic sizes/left/right). Each fat
+    # scan re-materializes every array row; at 8 concurrent tasks the 4x
+    # allocation rate inflated band_join user-CPU ~45% vs 2 tasks
+    # (round-5 split profile: 90.5 -> 131.7 user cpu-s at 216k files)
+    # plus kernel page-commit sys time. The lazy persist is populated
+    # race-free: both consumers' BROADCAST sub-jobs (hot-key list,
+    # phonetic block sizes) run before the main join stages and warm the
+    # cache, so the fat checkpoint is scanned once per derivative.
     keyed = (
-        sigs.select("id", "lang", "pkey").filter(F.col("pkey") != "")
+        sigs.select("id", "lang", "pkey").filter(F.col("pkey") != "").persist()
         if cfg.phonetic_blocking
         else None
     )
-    banded = banded_ids(sigs, cfg)
+    banded = banded_ids(sigs, cfg).persist()
     probe = banded.select("lang", "band", "bucket", F.col("id").alias("id_l"))
     build = banded.select("lang", "band", "bucket", F.col("id").alias("id_r"))
     # output is id pairs only — shingles are re-derived natively by the
