@@ -5,9 +5,10 @@ Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
---scaling mode: run the fuzzy-scoring job at two parallelism levels
-(local[8] vs local[32] — the sandbox stand-in for N vs 4N executors) via
-subprocesses, compute candidate-pairs-scored/sec and scaling efficiency,
+--scaling mode: run the pair-scoring job and the repos job at two
+parallelism levels (local[2] vs local[8], plus local-cluster[1] vs [4]
+two-core executor JVMs — the sandbox stand-ins for N vs 4N executors)
+via subprocesses, compute throughput and scaling efficiency per line,
 and write BENCH/BASELINE.md.
 """
 
@@ -701,6 +702,46 @@ time) — a local-mode artifact, not a plan property (real executors run
 `defaultParallelism`). The absolute 32-core e2e number is tracked
 per-round in `BENCH/trend.jsonl` (appended by every default `bench.py`
 run) so cross-round regressions stay visible.
+
+## Width-scaling decomposition (round-5 per-stage audit)
+
+Per-Spark-stage executorCpuTime at 2 vs 8 concurrent tasks (108k files,
+identical input, AppStatusStore after the run — wall noise cancels out
+of cpu columns) localized the repos job's efficiency gap and drove
+three shipped fixes:
+
+1. The salted band join was planned sort-merge; its sort buffers divide
+   the execution-memory pool by concurrent task count, so the join
+   stage's cpu inflated 35.9 -> 61.2 s (2 -> 8 tasks) at 216k files.
+   Fixed: `shuffle_hash` hint (`operators/blocking.py`) — 39.0 cpu-s at
+   8 tasks, inflation +8%.
+2. The pre-shuffle map stage evaluated the interpreted higher-order
+   shingle expressions (`ngram_shingles` + `transform(xxhash64)`) on
+   the JVM: 81.9 cpu-s, the top width inflater (+30% at 8 tasks — G1
+   allocation pressure grows with concurrent mutators), and its output
+   (per-shingle hash arrays) made the kernel-input shuffle 248 MB.
+   Fixed: fused text->(sig, sh) Arrow kernel
+   (`operators/dedup.py::make_minhash_text_udf`) — the JVM stage drops
+   to ~2 cpu-s, the shuffle to ~30 MB, and 8-core wall fell 40.8 ->
+   30.8 s (2-core 105 -> 72 s).
+3. After both fixes the remaining JVM plan is near width-flat (stage
+   cpu sum 63.6 -> 85.2 at 2 -> 8 tasks, most of it the hash join's +46%);
+   the residual worker-level cpu gap sits in the PYTHON kernels —
+   identical numpy work costs more cycles/op when 8 processes contend
+   for one host's DRAM bandwidth. That contention is shared-host
+   physics, not plan shape: a real cluster's 4N executors sit on ~4x
+   the memory channels, while every in-sandbox width pair (1v4, 2v8
+   cores; 1v4 executor JVMs) shares ONE host's channels at both levels,
+   so the measured ratio is a floor on real-cluster scaling, not an
+   estimate of it.
+
+Efficiency-vs-absolute trade, stated explicitly: both round-5 fixes made
+the LOW level faster by a larger factor than the high level (the removed
+JVM work was the best-scaling part of the job), so the measured
+efficiency ratio DROPPED while throughput improved ~25-30% at every
+width. The per-stage cpu table above is the evidence that what remains
+is contention, not serial fraction: no stage has constant-wall behavior
+(the Amdahl signature), every stage's wall still divides by ~3-4x.
 """
         )
     sweep_path = os.path.join(REPO, "BENCH", "scoring_sweep.json")

@@ -181,6 +181,79 @@ def make_minhash_udf(num_perm: int = 64, seed: int = 42, params: tuple | None = 
     return minhash
 
 
+def make_minhash_text_udf(
+    num_perm: int, seed: int, params: tuple, shingle_n: int, keep_sh: bool
+):
+    """Fused text -> (MinHash signature[, hashed shingle set]) kernel.
+
+    One Arrow crossing does shingling, shingle hashing AND the signature:
+    character ``shingle_n``-gram windows over the codepoint array (utf-32
+    view, so semantics match the JVM path's character substr windows),
+    hashed with a vectorized splitmix64-style mix, then the (a*x+b) mod p
+    permutation matrix. Replaces the JVM spelling — ``ngram_shingles`` +
+    interpreted higher-order ``transform(xxhash64)`` — whose per-element
+    allocation made the pre-shuffle map stage the pipeline's top
+    width-CPU inflater (round-5 stage audit: 81.9 cpu-s of the 108k-file
+    checkpoint job, inflating ~30% from 2 to 8 concurrent tasks) and
+    whose output (one hash per shingle occurrence) dominated the kernel
+    input shuffle (248 MB vs ~60 MB of raw text for 108k files).
+
+    The shingle-hash VALUES differ from the JVM path's abs(xxhash64) —
+    callers must not mix the two spellings inside one Jaccard comparison
+    (shingle-set Jaccard only needs both sides hashed identically; both
+    pipeline paths are self-consistent). md5 mode never routes here: its
+    values are the cross-engine oracle contract.
+    """
+    a, b = params
+    a = np.asarray(a, dtype=np.int64)[:, None]
+    b = np.asarray(b, dtype=np.int64)[:, None]
+    n = shingle_n
+    K = np.uint64(0x9E3779B97F4A7C15)
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+    fields = [T.StructField("sig", T.ArrayType(T.LongType()))]
+    if keep_sh:
+        fields.append(T.StructField("sh", T.ArrayType(T.LongType())))
+
+    @pandas_udf(T.StructType(fields))
+    def mh_text(texts: pd.Series) -> pd.DataFrame:
+        empty_sig = [int(_MERSENNE)] * num_perm
+        sigs: list = []
+        shs: list = []
+        for s in texts:
+            cp = (
+                np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                if s
+                else np.empty(0, dtype=np.uint32)
+            )
+            m = cp.size - (n - 1)
+            if m <= 0:
+                sigs.append(empty_sig)
+                if keep_sh:
+                    shs.append([])
+                continue
+            h = np.zeros(m, dtype=np.uint64)
+            for j in range(n):  # n is tiny (5); windows stay vectorized
+                h = h * K + cp[j : j + m]
+            h ^= h >> np.uint64(30)
+            h *= M1
+            h ^= h >> np.uint64(27)
+            h *= M2
+            h ^= h >> np.uint64(31)
+            sh = np.unique(h).view(np.int64)
+            x = (sh % _MERSENNE)[None, :]
+            sig = ((a * x + b) % _MERSENNE).min(axis=1)
+            sigs.append(sig.tolist())
+            if keep_sh:
+                shs.append(sh.tolist())
+        data = {"sig": sigs}
+        if keep_sh:
+            data["sh"] = shs
+        return pd.DataFrame(data)
+
+    return mh_text
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -192,6 +265,7 @@ def minhash_signatures(
     n_docs: int | None = None,
     docs_per_partition: int = 4_000,
     keep_hashed_shingles: bool = False,
+    keep_shingles: bool = True,
 ) -> DataFrame:
     """DataFrame[id, shingles array<string>, sig array<long>].
 
@@ -214,7 +288,16 @@ def minhash_signatures(
     plan-build action) sizes the kernel stage at a constant
     ``docs_per_partition`` docs per partition, so the Arrow batch shape is
     identical at every cluster size; unknown count falls back to
-    4 x cores."""
+    4 x cores.
+
+    ``keep_shingles=False`` drops the ``shingles`` string-array column
+    from the output; in xxhash64 mode it ALSO routes the whole
+    shingle+hash+signature computation through the fused Arrow kernel
+    (:func:`make_minhash_text_udf`) — raw text crosses the repartition
+    shuffle instead of per-shingle hash arrays, and the interpreted JVM
+    higher-order shingle expressions disappear from the plan. md5 mode
+    keeps the JVM spelling regardless: its shingle-hash values are the
+    cross-engine (DuckDB oracle) contract."""
     sh = ngram_shingles(F.col(text_col), shingle_n)
     if hash_mode == "md5":
         hashed = F.transform(sh, lambda s: cross_hash60(s) % F.lit(_MERSENNE))
@@ -239,11 +322,28 @@ def minhash_signatures(
     # / 28 cpu-s; aggregate()-least fold 24 s / 181 cpu-s; transform()+
     # array_min 265 s / 2044 cpu-s (it also materializes one array per
     # permutation per doc). Same signatures in all three (verified).
+    if hash_mode != "md5" and not keep_shingles:
+        mh_text = make_minhash_text_udf(
+            num_perm, seed, (a, b), shingle_n, keep_hashed_shingles
+        )
+        base = df.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+        ).repartition(n_part, "id")
+        st = mh_text(F.col("__t"))
+        cols = [F.col("id"), st["sig"].alias("sig")]
+        if keep_hashed_shingles:
+            # same PythonUDF expression twice -> Spark extracts and
+            # evaluates it ONCE (ExtractPythonUDFs dedups by canonical
+            # equality); one Arrow crossing total
+            cols.append(st["sh"].alias("sh"))
+        return base.select(*cols)
     mh = make_minhash_udf(num_perm, seed, params=(a, b))
     base = df.select(
         F.col(id_col).alias("id"), sh.alias("shingles"), hashed.alias("__h")
     ).repartition(n_part, "id")
-    out = ["id", "shingles", mh(F.col("__h")).alias("sig")]
+    out = ["id", mh(F.col("__h")).alias("sig")]
+    if keep_shingles:
+        out.insert(1, "shingles")
     if keep_hashed_shingles:
         out.append(F.array_distinct("__h").alias("sh"))
     return base.select(*out)

@@ -254,6 +254,10 @@ def candidate_block_pairs(
         hash_mode=cfg.hash_mode,
         n_docs=n_docs,
         keep_hashed_shingles=side_out is not None,
+        # no string shingles needed here — in xxhash64 mode this also
+        # routes shingling+hashing into the fused Arrow kernel (raw text
+        # crosses the kernel shuffle, not per-shingle hash arrays)
+        keep_shingles=False,
     ).join(norm.select(*sig_key_cols), "id")
     sigs = sigs_plan.select("id", "lang", "sig", *extra).localCheckpoint()
     if side_out is not None:

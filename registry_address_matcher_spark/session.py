@@ -120,6 +120,20 @@ def get_spark(
             "spark.executor.extraJavaOptions",
             f"-XX:ActiveProcessorCount={cluster_shape[1]}",
         )
+        # local-cluster[n,cores,mem]'s mem is the WORKER's capacity only;
+        # executors still launch with the spark.executor.memory default
+        # (1g) unless told otherwise — at bench scale a 1g executor dies
+        # in an OOM crash-loop (observed: >1000 relaunches before the
+        # master gave up). Claim the whole worker allowance per executor
+        # (one executor per worker in local-cluster mode).
+        if cluster_shape[2] and not os.environ.get("SPARK_GRAFT_EXECUTOR_MEM"):
+            builder = builder.config(
+                "spark.executor.memory", f"{cluster_shape[2]}m"
+            )
+        elif os.environ.get("SPARK_GRAFT_EXECUTOR_MEM"):
+            builder = builder.config(
+                "spark.executor.memory", os.environ["SPARK_GRAFT_EXECUTOR_MEM"]
+            )
     else:
         n_local = _local_n(master)
         xopts = os.environ.get("SPARK_GRAFT_DRIVER_XOPTS", "")
@@ -179,8 +193,9 @@ def _local_n(master: str) -> int | None:
     return None
 
 
-def _local_cluster_shape(master: str) -> tuple[int, int] | None:
-    """Parse ``local-cluster[n, cores, mem]`` -> (n, cores); None otherwise.
+def _local_cluster_shape(master: str) -> tuple[int, int, int | None] | None:
+    """Parse ``local-cluster[n, cores, mem]`` -> (n, cores, mem_mb);
+    None otherwise (mem_mb None when unparseable).
 
     local-cluster mode launches REAL separate executor JVMs (forked by
     in-process Workers) — the closest in-sandbox stand-in for a
@@ -189,7 +204,8 @@ def _local_cluster_shape(master: str) -> tuple[int, int] | None:
         return None
     try:
         parts = master[len("local-cluster["):-1].split(",")
-        return int(parts[0].strip()), int(parts[1].strip())
+        mem = int(parts[2].strip()) if len(parts) > 2 else None
+        return int(parts[0].strip()), int(parts[1].strip()), mem
     except (ValueError, IndexError):
         return None
 

@@ -49,5 +49,5 @@ def test_shm_auto_requires_headroom(monkeypatch):
 def test_master_parsers():
     assert _local_n("local[8]") == 8
     assert _local_n("local[*]") is None
-    assert _local_cluster_shape("local-cluster[4,2,4096]") == (4, 2)
+    assert _local_cluster_shape("local-cluster[4,2,4096]") == (4, 2, 4096)
     assert _local_cluster_shape("local[8]") is None
