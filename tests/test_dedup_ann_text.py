@@ -257,3 +257,80 @@ def test_ann_ivf_recall_and_determinism(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_fused_text_kernel_contract(spark):
+    """Pin the fused text->(sig, sh) kernel's contract (xxhash64 mode,
+    keep_shingles=False — the repos pipeline's scale path):
+
+    * identical texts -> identical sig and sh (jaccard 1 by construction)
+    * null / empty / shorter-than-n texts -> the empty-sig sentinel and
+      an empty shingle set, matching the JVM path's guards
+    * near-dup vs unrelated text separates in estimated band space
+    * md5 mode NEVER routes through the fused kernel: its sh values stay
+      the cross-engine (DuckDB oracle) cross_hash60 contract
+    """
+    from registry_address_matcher_spark.operators.dedup import (
+        _MERSENNE,
+        cross_hash60,
+        minhash_signatures,
+        ngram_shingles,
+    )
+
+    base = "def f(x):\n    return x * 41 + 7\n" * 8
+    rows = [
+        {"id": "dup1", "text": base},
+        {"id": "dup2", "text": base},
+        {"id": "near", "text": base + "# trailing comment"},
+        {"id": "far", "text": "SELECT count(*) FROM t GROUP BY y HAVING z"},
+        {"id": "short", "text": "ab"},
+        {"id": "empty", "text": ""},
+        {"id": "null", "text": None},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = minhash_signatures(
+        df, "id", "text", shingle_n=5, num_perm=64,
+        keep_hashed_shingles=True, keep_shingles=False,
+    ).toPandas().set_index("id")
+    assert list(out.columns) == ["sig", "sh"]
+
+    assert list(out.loc["dup1", "sig"]) == list(out.loc["dup2", "sig"])
+    assert sorted(out.loc["dup1", "sh"]) == sorted(out.loc["dup2", "sh"])
+    sentinel = [int(_MERSENNE)] * 64
+    for degenerate in ("short", "empty", "null"):
+        assert list(out.loc[degenerate, "sig"]) == sentinel
+        assert len(out.loc[degenerate, "sh"]) == 0
+
+    def est_jac(a, b):
+        sa, sb = out.loc[a, "sig"], out.loc[b, "sig"]
+        return sum(x == y for x, y in zip(sa, sb)) / len(sa)
+
+    assert est_jac("dup1", "near") > 0.5
+    assert est_jac("dup1", "far") < 0.2
+    # the true shingle-set jaccard orders the same way
+    def jac(a, b):
+        sa, sb = set(out.loc[a, "sh"]), set(out.loc[b, "sh"])
+        return len(sa & sb) / len(sa | sb)
+
+    # (the repeated base text has a small distinct-shingle set, so the
+    # appended comment adds proportionally many shingles: true jac ~0.64)
+    assert jac("dup1", "near") > 0.5 > jac("dup1", "far")
+
+    md5_out = minhash_signatures(
+        df.filter(F.col("id") == "dup1"), "id", "text", shingle_n=5,
+        num_perm=64, hash_mode="md5", keep_hashed_shingles=True,
+        keep_shingles=False,
+    ).toPandas()
+    oracle_sh = (
+        df.filter(F.col("id") == "dup1")
+        .select(
+            F.array_distinct(
+                F.transform(
+                    ngram_shingles(F.col("text"), 5),
+                    lambda s: cross_hash60(s) % F.lit(_MERSENNE),
+                )
+            ).alias("sh")
+        )
+        .toPandas()
+    )
+    assert sorted(md5_out.loc[0, "sh"]) == sorted(oracle_sh.loc[0, "sh"])
