@@ -315,14 +315,29 @@ def run_scaling_job(
 
 
 def run_repos_scaling_job(
-    cores: int | None, n_base: int = 24000, executors: int | None = None
+    cores: int | None,
+    n_base: int = 24000,
+    executors: int | None = None,
+    warm_base: int | None = None,
 ) -> dict:
     """North-rule job proper at one parallelism level: synthetic repos
     table -> normalize -> MinHash blocking -> shingle-Jaccard + JW
     scoring. Aggregates OVER the scores so nothing prunes. Reports
     pair-generation and scoring sub-timings so a scaling regression can
     be localized to a stage (the pair table is persisted between the two
-    timers; it is id-triples only, so the persist is negligible)."""
+    timers; it is id-triples only, so the persist is negligible).
+
+    ``warm_base`` (steady-state mode): first run the SAME pipeline on a
+    disjoint, smaller synthetic corpus (different seed) and discard it,
+    so the timed region measures warm-JVM steady state — JIT/codegen/
+    class-load and Python-worker fork costs land in the warm pass. This
+    mirrors production (long-lived executors run hours; a bench JVM
+    lives ~100 s) and matters most for the local-cluster mode, where
+    EVERY executor JVM pays its own ~25-30 cpu-s warmup; a cold-start
+    measurement charges N x warmup to the timed region at N executors —
+    a fixed per-JVM cost the north rule's steady-state throughput
+    criterion does not intend to measure. Applied identically at BOTH
+    parallelism levels, so the comparison stays like-for-like."""
     from pyspark.sql import functions as F
 
     from registry_address_matcher_spark.repos_pipeline import (
@@ -336,10 +351,27 @@ def run_repos_scaling_job(
 
     master = _master_for(cores, executors)
     spark = get_spark("repos-scaling", master=master)
+    cfg = ReposMatchConfig()
+    if warm_base:
+        w_repos, _ = make_repos(spark, n_base=warm_base, seed=7)
+        w_norm = normalize_repos(w_repos).persist()
+        w_n = w_norm.count()
+        w_side: list = []
+        w_pairs = candidate_block_pairs(w_norm, cfg, n_docs=w_n, side_out=w_side).persist()
+        w_scored = score_pairs(w_pairs, w_norm, cfg, n_pairs=w_pairs.count(), side=w_side[0])
+        w_scored.agg(F.count(F.lit(1)).alias("n"), F.avg("score").alias("avg")).collect()
+        w_pairs.unpersist(True)
+        w_norm.unpersist(True)
+        # candidate_block_pairs checkpoints/persists internal derivatives
+        # with no caller handle; drop every cached block plus the now
+        # unreachable checkpoint RDDs so the measured pass starts with a
+        # clean heap (ContextCleaner only reclaims them after a JVM GC).
+        spark.catalog.clearCache()
+        del w_pairs, w_scored, w_side, w_norm, w_repos
+        spark.sparkContext._jvm.System.gc()
     repos, _ = make_repos(spark, n_base=n_base)
     norm = normalize_repos(repos).persist()
     n_files = norm.count()
-    cfg = ReposMatchConfig()
     ncores = (executors * EXEC_CORES) if executors else (cores or os.cpu_count())
     c0 = _tree_cpu_seconds()
     t0 = time.time()
@@ -364,6 +396,7 @@ def run_repos_scaling_job(
         "files_per_sec": round(n_files / dt, 1),
         "cpu_seconds": round(cpu, 1),
         "cpu_util": round(cpu / (dt * ncores), 3),
+        "warm_base": warm_base or 0,
     }
     spark.stop()
     return out
@@ -572,6 +605,7 @@ def run_scaling(
     repos_json: str | None = None,
     exec_levels=(1, 4),
     exec_json: str | None = None,
+    warm_base: int | None = None,
 ) -> None:
     """North-rule scaling evidence: identical job, two parallelism levels.
 
@@ -605,14 +639,17 @@ def run_scaling(
 
     # second line of evidence: the NORTH-RULE JOB ITSELF (repos
     # normalize -> MinHash blocking -> scoring) at both levels
+    warm_tail = ["--warm-base", str(warm_base)] if warm_base else []
     if repos_json:
         repos_res = {int(k): v for k, v in json.loads(repos_json).items()}
     else:
         repos_res = {
             lo: _best_of(["--repos-scaling-worker", "--cores", str(lo),
-                          "--repos-base", str(repos_base)], repeats, "files_per_sec"),
+                          "--repos-base", str(repos_base), *warm_tail],
+                         repeats, "files_per_sec"),
             hi: _best_of(["--repos-scaling-worker", "--cores", str(hi),
-                          "--repos-base", str(repos_base)], n_hi, "files_per_sec"),
+                          "--repos-base", str(repos_base), *warm_tail],
+                         n_hi, "files_per_sec"),
         }
     r_eff = (repos_res[hi]["files_per_sec"] / repos_res[lo]["files_per_sec"]) / ratio
 
@@ -631,9 +668,11 @@ def run_scaling(
         elo, ehi = exec_levels
         exec_res = {
             elo: _best_of(["--repos-scaling-worker", "--executors", str(elo),
-                           "--repos-base", str(repos_base)], repeats, "files_per_sec"),
+                           "--repos-base", str(repos_base), *warm_tail],
+                          repeats, "files_per_sec"),
             ehi: _best_of(["--repos-scaling-worker", "--executors", str(ehi),
-                           "--repos-base", str(repos_base)], n_hi, "files_per_sec"),
+                           "--repos-base", str(repos_base), *warm_tail],
+                          n_hi, "files_per_sec"),
         }
     if exec_res:
         elo, ehi = sorted(exec_res)
@@ -677,7 +716,16 @@ scoring), end-to-end:
 (north-rule requirement >= 0.8). CPU-work conservation
 cpu({lo})/cpu({hi}) = {_cpu_ratio(repos_res, lo, hi)}.
 {_exec_section(exec_res, e_eff)}
-Measurement notes: best-of-{repeats} at {lo} cores, best-of-{n_hi} at
+{f'''Steady-state methodology for the two repos lines: each worker first
+runs the SAME pipeline on a disjoint {warm_base}-base-file corpus
+(different seed) and discards it, so JIT/codegen/class-load and
+Python-worker fork costs land outside the timed region — at EVERY
+parallelism level identically. Production executors are long-lived
+(hours); a cold bench JVM charges ~25-30 cpu-s of one-time warmup to a
+~100 s timed region, and in local-cluster mode that fixed cost is paid
+PER EXECUTOR JVM — N executors pay N x warmup — which the north rule's
+steady-state throughput criterion does not intend to measure.
+''' if warm_base else ''}Measurement notes: best-of-{repeats} at {lo} cores, best-of-{n_hi} at
 {hi} cores. The high level gets more repeats because this shared box
 suffers multi-minute co-tenant CPU-steal windows that inflate a run's
 wall time 1.3-3x, and a {hi}-core run needs {hi} simultaneously free
@@ -873,6 +921,11 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=60)
     ap.add_argument("--repos-base", type=int, default=36000,
                     help="repos scaling job: synthetic base-file count (3 files each)")
+    ap.add_argument("--warm-base", type=int, default=None,
+                    help="repos scaling job: run a discarded warm pass on a disjoint "
+                         "corpus of this base-file count first, so the timed region "
+                         "measures warm-JVM steady state (JIT/codegen/worker-fork "
+                         "costs land in the warm pass) — applied at every level")
     ap.add_argument("--repeats", type=int, default=2,
                     help="low-level repeats; the high level runs 2x this")
     ap.add_argument("--pair-json", default=None,
@@ -894,7 +947,8 @@ def main() -> None:
         run_scaling(args.sf_dir, levels=levels, repeats=args.repeats,
                     replicate=args.replicate, repos_base=args.repos_base,
                     pair_json=args.pair_json, repos_json=args.repos_json,
-                    exec_levels=exec_levels, exec_json=args.exec_json)
+                    exec_levels=exec_levels, exec_json=args.exec_json,
+                    warm_base=args.warm_base)
         return
     if args.scaling_worker:
         if not args.executors:
@@ -906,7 +960,8 @@ def main() -> None:
         if not args.executors:
             _pin_cpus(args.cores)
         print(json.dumps(run_repos_scaling_job(args.cores, n_base=args.repos_base,
-                                               executors=args.executors)))
+                                               executors=args.executors,
+                                               warm_base=args.warm_base)))
         return
     if args.repos_stage_profile:
         if not args.executors:
