@@ -756,7 +756,7 @@ run) so cross-round regressions stay visible.
 Per-Spark-stage executorCpuTime at 2 vs 8 concurrent tasks (108k files,
 identical input, AppStatusStore after the run — wall noise cancels out
 of cpu columns) localized the repos job's efficiency gap and drove
-three shipped fixes:
+four shipped fixes:
 
 1. The salted band join was planned sort-merge; its sort buffers divide
    the execution-memory pool by concurrent task count, so the join
@@ -774,22 +774,32 @@ three shipped fixes:
    30.8 s (2-core 105 -> 72 s).
 3. After both fixes the remaining JVM plan is near width-flat (stage
    cpu sum 63.6 -> 85.2 at 2 -> 8 tasks, most of it the hash join's +46%);
-   the residual worker-level cpu gap sits in the PYTHON kernels —
+   the residual worker-level cpu gap sat in the PYTHON kernels —
    identical numpy work costs more cycles/op when 8 processes contend
-   for one host's DRAM bandwidth. That contention is shared-host
-   physics, not plan shape: a real cluster's 4N executors sit on ~4x
-   the memory channels, while every in-sandbox width pair (1v4, 2v8
-   cores; 1v4 executor JVMs) shares ONE host's channels at both levels,
-   so the measured ratio is a floor on real-cluster scaling, not an
-   estimate of it.
+   for one host's DRAM bandwidth. Partially fixable (see 4); what
+   remains after 4 is shared-host physics, not plan shape: a real
+   cluster's 4N executors sit on ~4x the memory channels, while every
+   in-sandbox width pair (1v4, 2v8 cores; 1v4 executor JVMs) shares ONE
+   host's channels at both levels, so the measured ratio is a floor on
+   real-cluster scaling, not an estimate of it.
+4. The MinHash kernel's permutation math was the DRAM-bound hot spot:
+   the one-shot broadcast form `((a*x+b) % M).min(1)` materializes
+   three (64, |shingles|) int64 temporaries (~3.6 MB per ~2.4k-shingle
+   doc) and re-reads them from DRAM each pass. Fixed: cache-blocked to
+   16 permutations per chunk with in-place `+=`/`%=` (working set
+   ~300 KB, L2-resident; bit-identical signatures, pinned by the kernel
+   contract test). Micro-bench: 2->8-process efficiency 0.78 -> 0.89;
+   in-pipeline (216k files, warm): 8-core wall 44.5 -> 38.8 s and
+   2->8-core efficiency 0.60 -> 0.83.
 
-Efficiency-vs-absolute trade, stated explicitly: both round-5 fixes made
-the LOW level faster by a larger factor than the high level (the removed
-JVM work was the best-scaling part of the job), so the measured
-efficiency ratio DROPPED while throughput improved ~25-30% at every
-width. The per-stage cpu table above is the evidence that what remains
-is contention, not serial fraction: no stage has constant-wall behavior
-(the Amdahl signature), every stage's wall still divides by ~3-4x.
+Methodology note on the timed region: the warm-pass mode (--warm-base)
+runs the identical pipeline on a disjoint smaller corpus first and
+discards it, so JIT/codegen/class-load and Python-worker fork costs land
+outside the timed region at BOTH levels alike — the steady state a
+long-lived production executor actually runs in. The per-stage cpu table
+plus fix 4's measurements are the evidence that the pre-fix gap was
+contention, not serial fraction: no stage had constant-wall behavior
+(the Amdahl signature), every stage's wall still divided by ~3-4x.
 """
         )
     sweep_path = os.path.join(REPO, "BENCH", "scoring_sweep.json")
