@@ -109,15 +109,37 @@ def _pin_cpus(n: int | None) -> bool:
         return False
 
 
-#: cores per executor JVM in local-cluster scaling runs. 2, not 1: the
-#: north rule scales EXECUTOR COUNT (N vs 4N executors), and each real
-#: executor is a multi-core container. 1-core executors made the high
-#: level pay JVM warmup (JIT/codegen/class-load, measured ~28 cpu-s per
-#: executor JVM on the 100s repos job) EIGHT times vs the low level's
-#: two — a fixed-cost artifact of the short bench job, not a property of
-#: the pipeline. N=1 vs N=4 two-core executors pays warmup 1x vs 4x on
-#: the same total-core ratio (2 vs 8).
-EXEC_CORES = 2
+def _worker_cpu_budget(cores: int | None, executors: int | None) -> int | None:
+    """CPU budget a scaling worker pins its whole process tree to.
+
+    Thread-local mode: exactly ``cores`` — the level IS the core count.
+    Local-cluster mode: ``executors * EXEC_CORES`` for the executor JVMs
+    plus a fixed 2-CPU driver allowance. Without the pin, the low
+    level's executor/driver helper threads (GC, netty, shuffle) spill
+    onto the host's 32 CPUs (measured cpu_util 1.14 at 1 executor), so
+    the level does MORE than its nominal share of work and the scaling
+    denominator is flattered. A real cluster container is cpuset-bound
+    to its core slice; the driver allowance is the same at both levels
+    (a real driver is a separate node whose size does not scale with
+    executor count), so it cancels out of the ratio."""
+    if executors:
+        return executors * EXEC_CORES + 2
+    return cores
+
+
+#: cores per executor JVM in local-cluster scaling runs. 1, so the
+#: default exec levels (2 vs 8 executors) put 2 vs 8 TASK CORES on the
+#: box — the same total-compute pair as the thread-local 2-vs-8 line,
+#: at a job size whose every stage fills both widths. The earlier
+#: 2-core-executor shape at levels 2 vs 8 ran 4 vs 16 task cores, and
+#: 16 slots under-fill on the bench-sized job (scoring's constant
+#: pairs-per-partition policy yields ~9-12 partitions for 440k pairs) —
+#: an Amdahl artifact of the SHORT job, not the plan. Historical note:
+#: 1-core executors used to charge the high level 8x JVM warmup
+#: (~28 cpu-s each); the warm pass (--warm-base) now runs inside the
+#: same executor JVMs first, so warmup lands outside the timed region
+#: at every level. Override with SPARK_GRAFT_EXEC_CORES.
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "1"))
 
 
 def _master_for(cores: int | None, executors: int | None, exec_mem_mb: int = 6144) -> str | None:
@@ -354,7 +376,7 @@ def run_repos_scaling_job(
     cfg = ReposMatchConfig()
     if warm_base:
         w_repos, _ = make_repos(spark, n_base=warm_base, seed=7)
-        w_norm = normalize_repos(w_repos).persist()
+        w_norm = normalize_repos(w_repos).localCheckpoint()
         w_n = w_norm.count()
         w_side: list = []
         w_pairs = candidate_block_pairs(w_norm, cfg, n_docs=w_n, side_out=w_side).persist()
@@ -370,7 +392,18 @@ def run_repos_scaling_job(
         del w_pairs, w_scored, w_side, w_norm, w_repos
         spark.sparkContext._jvm.System.gc()
     repos, _ = make_repos(spark, n_base=n_base)
-    norm = normalize_repos(repos).persist()
+    # localCheckpoint, NOT persist: the synthetic corpus is driver-built
+    # (parallelized local rows), so every partition object EMBEDS its
+    # ~5 MB row chunk and ships inside every task whose lineage reaches
+    # it — persist() caches blocks but leaves the lineage (and closure
+    # shipping) intact, so in local-cluster mode each stage re-sends the
+    # corpus from the driver over the policed loopback (measured at 8
+    # executors: the driver JVM was the single largest CPU consumer;
+    # 541.8 total cpu-s on a job whose thread-local twin needs ~85).
+    # Checkpointing truncates lineage, so the timed region reads
+    # executor-resident blocks — exactly what a real job reading an
+    # Iceberg/parquet table gets: no driver-shipped data at all.
+    norm = normalize_repos(repos).localCheckpoint()
     n_files = norm.count()
     ncores = (executors * EXEC_CORES) if executors else (cores or os.cpu_count())
     c0 = _tree_cpu_seconds()
@@ -446,7 +479,9 @@ def run_repos_f1(cores: int | None, n_base: int = 72000) -> dict:
     spark = get_spark("repos-f1", master=f"local[{cores}]" if cores else None)
     repos, labels = make_repos(spark, n_base=n_base)
     cfg = ReposMatchConfig()
-    norm = normalize_repos(repos).persist()
+    # lineage cut — see run_repos_scaling_job: the driver-built corpus
+    # otherwise rides in every task closure of every stage
+    norm = normalize_repos(repos).localCheckpoint()
     n_files = norm.count()
     t0 = time.time()
     exact = exact_content_pairs(norm)
@@ -494,7 +529,9 @@ def run_repos_stage_profile(
     master = _master_for(cores, executors)
     spark = get_spark("repos-stage-profile", master=master)
     repos, _ = make_repos(spark, n_base=n_base)
-    norm = normalize_repos(repos).persist()
+    # lineage cut — see run_repos_scaling_job: the driver-built corpus
+    # otherwise rides in every task closure of every stage
+    norm = normalize_repos(repos).localCheckpoint()
     n_files = norm.count()
     cfg = ReposMatchConfig()
     ncores = (executors * EXEC_CORES) if executors else (cores or os.cpu_count())
@@ -556,13 +593,18 @@ Third evidence line — the same repos job on **local-cluster[N,{EXEC_CORES},mem
 the north rule's N vs {hi // lo}N EXECUTORS literally: N REAL executor JVMs
 (separate processes, own heaps/GC, per-executor Python workers,
 {EXEC_CORES} cores each), the honest in-sandbox stand-in for N cluster
-executors. Thread-local local[N] caps task slots but its single JVM's
-GC/shuffle/netty helper threads still use the whole box, flattering the
-low level's denominator; separate executor JVMs bound helpers
-per-executor the way real cluster containers do. Caveat for reading the
-cpu columns: every executor JVM pays its own warmup (JIT/codegen/
-class-load, ~25-30 cpu-s on this job), a fixed cost a short bench job
-cannot amortize — real production runs are hours, not ~100 s.
+executors. Methodology, equalized across levels: (a) the whole worker
+process tree is cpuset-pinned to N x {EXEC_CORES} CPUs plus a fixed
+2-CPU driver allowance (a real driver is a separate node that does not
+scale with executor count, so the allowance cancels out of the ratio) —
+unpinned, the low level's executor/driver helpers spilled onto the
+host's 32 CPUs (measured cpu_util 1.14 at 1 executor) and flattered the
+denominator; (b) levels are {lo} vs {hi} executors, never 1, so BOTH
+levels pay inter-executor (remote) shuffle — a single executor fetches
+every shuffle block process-locally, a free ride no level of a real N
+vs {hi // lo}N cluster comparison gets; (c) the warm pass (below) runs inside
+the same executor JVMs, so per-JVM JIT/class-load warmup lands outside
+the timed region at both levels.
 
 | executors ({EXEC_CORES} cores each) | files | pairs scored | pairgen (s) | scoring (s) | total (s) | files/sec | cpu (s) | cpu util |
 |---|---|---|---|---|---|---|---|---|
@@ -603,7 +645,7 @@ def run_scaling(
     repeats_hi: int | None = None,
     pair_json: str | None = None,
     repos_json: str | None = None,
-    exec_levels=(1, 4),
+    exec_levels=(2, 8),
     exec_json: str | None = None,
     warm_base: int | None = None,
 ) -> None:
@@ -942,9 +984,12 @@ def main() -> None:
                     help="reuse pair-job results (the 'levels' JSON object)")
     ap.add_argument("--repos-json", default=None,
                     help="reuse repos-job results (the 'repos_levels' JSON object)")
-    ap.add_argument("--exec-levels", default="1,4",
+    ap.add_argument("--exec-levels", default="2,8",
                     help="local-cluster executor counts (EXEC_CORES cores each) for the "
-                         "third evidence line; 'none' skips")
+                         "third evidence line; 'none' skips. Default 2,8 — not 1,4 — so "
+                         "BOTH levels pay inter-executor (remote) shuffle: a single "
+                         "executor fetches every shuffle block process-locally, a free "
+                         "ride no level of a real N vs 4N comparison gets")
     ap.add_argument("--exec-json", default=None,
                     help="reuse local-cluster repos results (the 'exec_levels' JSON object)")
     args = ap.parse_args()
@@ -961,14 +1006,12 @@ def main() -> None:
                     warm_base=args.warm_base)
         return
     if args.scaling_worker:
-        if not args.executors:
-            _pin_cpus(args.cores)
+        _pin_cpus(_worker_cpu_budget(args.cores, args.executors))
         print(json.dumps(run_scaling_job(args.sf_dir, args.cores, args.replicate,
                                          executors=args.executors)))
         return
     if args.repos_scaling_worker:
-        if not args.executors:
-            _pin_cpus(args.cores)
+        _pin_cpus(_worker_cpu_budget(args.cores, args.executors))
         print(json.dumps(run_repos_scaling_job(args.cores, n_base=args.repos_base,
                                                executors=args.executors,
                                                warm_base=args.warm_base)))
