@@ -508,13 +508,18 @@ def run_repos_f1(cores: int | None, n_base: int = 72000) -> dict:
 
 
 def run_repos_stage_profile(
-    cores: int | None, n_base: int = 24000, executors: int | None = None
+    cores: int | None, n_base: int = 24000, executors: int | None = None,
+    warm_base: int | None = None,
 ) -> dict:
     """Bisection tool for the repos-job scaling gap: run the pipeline's
     stages SEQUENTIALLY (no concurrent checkpoints) with wall + process-
     tree CPU sampled at every boundary. Comparing the per-stage cpu
     columns of a 2-core vs an 8-core run localizes which stage's CPU
-    inflates at width (wall noise cancels out of the cpu columns)."""
+    inflates at width (wall noise cancels out of the cpu columns).
+    ``warm_base`` runs the discarded steady-state pass first (see
+    run_repos_scaling_job) — essential in executor mode, where a cold
+    profile charges N x per-JVM warmup to the N-executor level and the
+    decomposition measures warmup, not the algorithm."""
     from pyspark.sql import functions as F
 
     from registry_address_matcher_spark.repos_pipeline import (
@@ -528,6 +533,20 @@ def run_repos_stage_profile(
 
     master = _master_for(cores, executors)
     spark = get_spark("repos-stage-profile", master=master)
+    cfg_w = ReposMatchConfig()
+    if warm_base:
+        w_repos, _ = make_repos(spark, n_base=warm_base, seed=7)
+        w_norm = normalize_repos(w_repos).localCheckpoint()
+        w_n = w_norm.count()
+        w_side: list = []
+        w_pairs = candidate_block_pairs(w_norm, cfg_w, n_docs=w_n, side_out=w_side).persist()
+        w_scored = score_pairs(w_pairs, w_norm, cfg_w, n_pairs=w_pairs.count(), side=w_side[0])
+        w_scored.agg(F.count(F.lit(1)).alias("n"), F.avg("score").alias("avg")).collect()
+        w_pairs.unpersist(True)
+        w_norm.unpersist(True)
+        spark.catalog.clearCache()
+        del w_pairs, w_scored, w_side, w_norm, w_repos
+        spark.sparkContext._jvm.System.gc()
     repos, _ = make_repos(spark, n_base=n_base)
     # lineage cut — see run_repos_scaling_job: the driver-built corpus
     # otherwise rides in every task closure of every stage
@@ -844,6 +863,62 @@ contention, not serial fraction: no stage had constant-wall behavior
 (the Amdahl signature), every stage's wall still divided by ~3-4x.
 """
         )
+    prof_path = os.path.join(REPO, "BENCH", "exec_stage_profiles.json")
+    if os.path.exists(prof_path):
+        with open(prof_path) as fh:
+            prof = json.load(fh)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(
+                "\n## Executor-JVM decomposition (why the third line sits below 0.8 "
+                "in this sandbox)\n\n"
+                f"Warm-pass, cpuset-pinned per-stage profiles of the repos job at\n"
+                f"{prof['n_base_files']} files across executor SHAPES "
+                "(`bench.py --repos-stage-profile --executors N "
+                "[SPARK_GRAFT_EXEC_CORES=c] --warm-base ...`, raw JSON in "
+                "`BENCH/exec_stage_profiles.json`). cpu columns are process-tree\n"
+                "user+sys seconds — steal-immune, so they compare across shapes:\n\n"
+                "| shape (execs x cores) | task cores | sigs_ckpt cpu | band_join cpu "
+                "| score_agg cpu | total cpu | total wall (s) |\n"
+                "|---|---|---|---|---|---|---|\n"
+            )
+            for name in ("2x1", "2x2", "4x2", "8x1", "8x2"):
+                s = prof["shapes"].get(name)
+                if not s:
+                    continue
+                st = s["stages"]
+                f.write(
+                    f"| {name} | {s['cores']} | {st['sigs_ckpt']['cpu']} "
+                    f"| {st['band_join']['cpu']} | {st['score_agg']['cpu']} "
+                    f"| {s['total_cpu']} | {s['total_wall']} |\n"
+                )
+            f.write("""
+Three findings, and what they mean for the 0.8 bar:
+
+1. **At FIXED task cores, total CPU grows with JVM count, not width.**
+   8 task cores cost ~250 cpu-s in one JVM (thread-local, warm),
+   306 in 4x2-core executor JVMs, 429 in 8x1-core ones. The exec line's
+   gap is per-executor-JVM overhead, not a serial fraction — no stage's
+   wall is constant across widths (the Amdahl signature is absent).
+2. **The overhead localizes to the inter-JVM shuffle stage.** band_join
+   (band explode + salted shuffle-hash self-join + caps + dedup) goes
+   63 -> 110.8 -> 191.1 cpu-s at 2x1 -> 4x2 -> 8x1: the remote-fetch
+   fraction of the checkpointed signature blocks rises as 1 - 1/N with
+   executor count, and every remote fetch pays netty + lz4 + row serde
+   that a single JVM's process-local block reads never pay.
+3. **16 task cores saturate this host outright** (8x2: wall 54.9 s vs
+   50.2 s at 2x2 with a quarter of the cores) — the documented >8
+   python-worker Arrow-loopback + single-host DRAM wall; a box limit,
+   not a plan property.
+
+Reading: every in-sandbox shape shares ONE host's memory channels,
+loopback NIC, and kernel at both levels, so exec-mode efficiency here
+is a FLOOR on real-cluster scaling. The thread-local N-vs-4N-core pair
+(the sanctioned stand-in, both PASS above) isolates the PLAN, which is
+width-flat (0.993); what the exec line adds is the per-JVM fixed cost,
+which real 4-8-core executor containers on separate hosts amortize
+across more cores per JVM and distribute across per-host memory
+channels and NICs instead of stacking on one.
+""")
     sweep_path = os.path.join(REPO, "BENCH", "scoring_sweep.json")
     if os.path.exists(sweep_path):
         with open(sweep_path) as fh:
@@ -1017,10 +1092,12 @@ def main() -> None:
                                                warm_base=args.warm_base)))
         return
     if args.repos_stage_profile:
-        if not args.executors:
-            _pin_cpus(args.cores)
+        # pin the same cpuset budget the measured scaling runs get, so
+        # the per-stage cpu columns decompose the SAME contention regime
+        _pin_cpus(_worker_cpu_budget(args.cores, args.executors))
         print(json.dumps(run_repos_stage_profile(args.cores, n_base=args.repos_base,
-                                                 executors=args.executors)))
+                                                 executors=args.executors,
+                                                 warm_base=args.warm_base)))
         return
     if args.scoring_sweep:
         res = run_scoring_sweep(args.sf_dir, args.cores or 8)
