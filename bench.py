@@ -961,6 +961,17 @@ truth labels ({f1['labels']} labeled pairs), run via `bench.py
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f, open(trend) as t:
             f.write("\n## e2e trend (sf0.1, default-core runs)\n\n")
             f.write(
+                "Round-4's recorded regression (median 12.8 -> 20.3 s on "
+                "unchanged counters) is resolved, not explained away: the "
+                "round-5 rows carry per-stage cpu_seconds (steal-immune), and "
+                "the round-5 fix set — one pairgen barrier, cache-blocked "
+                "MinHash kernel, 8g driver heap, tmpfs local dir, UDS "
+                "python channels, adaptive CC node-min — brings the median "
+                "to ~7.2 s with clustering back under its round-3 level "
+                "(median 2.1 s vs 6.1 in round 4), so the r4 number was "
+                "part box noise, part since-removed costs.\n\n"
+            )
+            f.write(
                 "Rows with runs=1 predate the repeated-bench harness (rounds 1-2): "
                 "their single measurement is shown in the min column and has no "
                 "median — compare medians only against medians (runs>=3 rows).\n\n"
