@@ -336,6 +336,43 @@ def run_scaling_job(
     return out
 
 
+def _repos_warm_pass(spark, cfg, warm_base: int) -> None:
+    """One full pairgen+scoring pass on a disjoint smaller corpus
+    (seed=7), discarded — the measured pass then sees a steady-state JVM
+    (JIT/codegen/class-load and Python-worker forks land here).
+    Methodology-critical and shared: run_repos_scaling_job and
+    run_repos_stage_profile must warm IDENTICALLY or the scaling line
+    and its per-stage decomposition measure different steady states.
+
+    Cleanup: w_norm is localCheckpoint()ed, never persist()ed — there is
+    nothing to unpersist on it; its checkpoint RDDs (and the ones
+    candidate_block_pairs creates internally) are reclaimed by the
+    ContextCleaner only after the python refs die AND a JVM GC runs,
+    hence the explicit del + System.gc(). clearCache drops the
+    derivative blocks candidate_block_pairs persists with no caller
+    handle, so the measured pass starts with a clean heap."""
+    from pyspark.sql import functions as F
+
+    from registry_address_matcher_spark.repos_pipeline import (
+        candidate_block_pairs,
+        normalize_repos,
+        score_pairs,
+    )
+    from registry_address_matcher_spark.synth import make_repos
+
+    w_repos, _ = make_repos(spark, n_base=warm_base, seed=7)
+    w_norm = normalize_repos(w_repos).localCheckpoint()
+    w_n = w_norm.count()
+    w_side: list = []
+    w_pairs = candidate_block_pairs(w_norm, cfg, n_docs=w_n, side_out=w_side).persist()
+    w_scored = score_pairs(w_pairs, w_norm, cfg, n_pairs=w_pairs.count(), side=w_side[0])
+    w_scored.agg(F.count(F.lit(1)).alias("n"), F.avg("score").alias("avg")).collect()
+    w_pairs.unpersist(True)
+    spark.catalog.clearCache()
+    del w_pairs, w_scored, w_side, w_norm, w_repos
+    spark.sparkContext._jvm.System.gc()
+
+
 def run_repos_scaling_job(
     cores: int | None,
     n_base: int = 24000,
@@ -375,22 +412,7 @@ def run_repos_scaling_job(
     spark = get_spark("repos-scaling", master=master)
     cfg = ReposMatchConfig()
     if warm_base:
-        w_repos, _ = make_repos(spark, n_base=warm_base, seed=7)
-        w_norm = normalize_repos(w_repos).localCheckpoint()
-        w_n = w_norm.count()
-        w_side: list = []
-        w_pairs = candidate_block_pairs(w_norm, cfg, n_docs=w_n, side_out=w_side).persist()
-        w_scored = score_pairs(w_pairs, w_norm, cfg, n_pairs=w_pairs.count(), side=w_side[0])
-        w_scored.agg(F.count(F.lit(1)).alias("n"), F.avg("score").alias("avg")).collect()
-        w_pairs.unpersist(True)
-        w_norm.unpersist(True)
-        # candidate_block_pairs checkpoints/persists internal derivatives
-        # with no caller handle; drop every cached block plus the now
-        # unreachable checkpoint RDDs so the measured pass starts with a
-        # clean heap (ContextCleaner only reclaims them after a JVM GC).
-        spark.catalog.clearCache()
-        del w_pairs, w_scored, w_side, w_norm, w_repos
-        spark.sparkContext._jvm.System.gc()
+        _repos_warm_pass(spark, cfg, warm_base)
     repos, _ = make_repos(spark, n_base=n_base)
     # localCheckpoint, NOT persist: the synthetic corpus is driver-built
     # (parallelized local rows), so every partition object EMBEDS its
@@ -535,18 +557,7 @@ def run_repos_stage_profile(
     spark = get_spark("repos-stage-profile", master=master)
     cfg_w = ReposMatchConfig()
     if warm_base:
-        w_repos, _ = make_repos(spark, n_base=warm_base, seed=7)
-        w_norm = normalize_repos(w_repos).localCheckpoint()
-        w_n = w_norm.count()
-        w_side: list = []
-        w_pairs = candidate_block_pairs(w_norm, cfg_w, n_docs=w_n, side_out=w_side).persist()
-        w_scored = score_pairs(w_pairs, w_norm, cfg_w, n_pairs=w_pairs.count(), side=w_side[0])
-        w_scored.agg(F.count(F.lit(1)).alias("n"), F.avg("score").alias("avg")).collect()
-        w_pairs.unpersist(True)
-        w_norm.unpersist(True)
-        spark.catalog.clearCache()
-        del w_pairs, w_scored, w_side, w_norm, w_repos
-        spark.sparkContext._jvm.System.gc()
+        _repos_warm_pass(spark, cfg_w, warm_base)
     repos, _ = make_repos(spark, n_base=n_base)
     # lineage cut — see run_repos_scaling_job: the driver-built corpus
     # otherwise rides in every task closure of every stage

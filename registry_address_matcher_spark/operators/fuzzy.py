@@ -62,9 +62,11 @@ def candidate_pairs(
         F.col(c).alias(f"{c}_CAD") for c in cols
     ])
     # salt on the probe id explicitly: within a hot block a payload-
-    # duplicate-heavy probe would otherwise collapse onto one salt
-    return salted_join(probe, build, keys, scale,
-                       probe_salt_cols=["ADDRESS_ID_SPR"])
+    # duplicate-heavy probe would otherwise collapse onto one salt.
+    # Custom column sets without the id fall back to whole-row salting
+    # (salted_join's default) rather than failing analysis.
+    salt_cols = ["ADDRESS_ID_SPR"] if "ADDRESS_ID" in cols else None
+    return salted_join(probe, build, keys, scale, probe_salt_cols=salt_cols)
 
 
 def _attach_side_attrs(matched: DataFrame, spr: DataFrame, cad: DataFrame) -> DataFrame:

@@ -191,6 +191,7 @@ def candidate_block_pairs(
     n_docs: int | None = None,
     truncation_reports: list | None = None,
     side_out: list | None = None,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Blocking: (lang, MinHash band bucket) — skew-salted equi-self-join.
 
@@ -211,6 +212,15 @@ def candidate_block_pairs(
     removes the scoring stage's own shingle re-hash + second
     materialization barrier (round-5 profile: an entire ~40 s /
     ~50 cpu-s stage at 108k files / 2 cores).
+
+    Pass a list as ``cache_out`` to receive the internally ``persist()``ed
+    derivative DataFrames (band table, phonetic key table): they must stay
+    cached until the caller's action over the returned pairs completes,
+    after which a long-lived session should ``unpersist()`` each — there
+    is no other handle, and without it repeated calls accumulate
+    MEMORY_AND_DISK blocks for the life of the session. (The eager
+    ``localCheckpoint`` RDDs are reclaimed by the ContextCleaner once the
+    returned DataFrame is garbage-collected.)
     """
     scale = scale or ScaleConfig()
     # ONE eager localCheckpoint covers BOTH candidate sources: the
@@ -281,6 +291,8 @@ def candidate_block_pairs(
         else None
     )
     banded = banded_ids(sigs, cfg).persist()
+    if cache_out is not None:
+        cache_out.extend([banded] if keyed is None else [banded, keyed])
     probe = banded.select("lang", "band", "bucket", F.col("id").alias("id_l"))
     build = banded.select("lang", "band", "bucket", F.col("id").alias("id_r"))
     # output is id pairs only — shingles are re-derived natively by the
@@ -416,6 +428,7 @@ def score_pairs(
     pairs_per_partition: int = 4_000,
     checkpoint_side: bool = True,
     side: DataFrame | None = None,
+    side_distinct: bool = True,
 ) -> DataFrame:
     """Pairwise scoring: native shingle-Jaccard (token-set similarity) +
     one Arrow pass of Jaro-Winkler on path stems. Returns scored pairs
@@ -438,11 +451,22 @@ def score_pairs(
     ``n_pairs`` (caller-known, e.g. from a persisted pair count) keeps the
     partition SIZE constant across cluster sizes; unknown count falls
     back to 4 x cores. Pass a pre-materialized ``side`` (from
-    :func:`shingle_side`) to skip the build here."""
+    :func:`shingle_side` or :func:`candidate_block_pairs`'s ``side_out``)
+    to skip the build here.
+
+    CONTRACT: the ``sh`` arrays of a caller-supplied ``side`` must be
+    duplicate-free — the kernel counts |A ∩ B| as the duplicate count of
+    the sorted concatenation, which over-counts (jaccard can exceed 1.0)
+    if either array repeats a hash. Every in-repo producer guarantees
+    this (``array_distinct`` in :func:`shingle_side` / the MinHash
+    kernel's ``np.unique``); for a side of unknown provenance pass
+    ``side_distinct=False`` and the arrays are normalized here."""
     if side is None:
         side = shingle_side(norm, cfg)
         if checkpoint_side:
             side = side.localCheckpoint()
+    elif not side_distinct:
+        side = side.withColumn("sh", F.array_distinct("sh"))
     cores = pairs.sparkSession.sparkContext.defaultParallelism
     if n_pairs is not None:
         from .partitioning import cpu_stage_partitions

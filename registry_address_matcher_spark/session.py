@@ -27,7 +27,7 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus and master == "local[*]":
         master = f"local[{cpus}]"
-    cluster_shape = _local_cluster_shape(master)  # (executors, cores_per_exec)
+    cluster_shape = _local_cluster_shape(master)  # (executors, cores_per_exec, mem_mb)
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
         if master.startswith("local["):

@@ -124,3 +124,16 @@ def test_adaptive_estimate_failure_is_recorded(spark, monkeypatch):
     assert rows[0].stage == "scoring"
     assert rows[0].key.startswith("adaptive_partition_estimate_failed")
     assert drain_events_df(spark, "run-t") is None  # drained
+
+
+def test_candidate_pairs_custom_columns_without_id(spark):
+    """Round-5 review: a ``columns`` list omitting ADDRESS_ID (legal per
+    the docstring) must not fail analysis — the probe salt falls back to
+    whole-row hashing instead of referencing the absent id column."""
+    from registry_address_matcher_spark.operators.fuzzy import candidate_pairs
+
+    spr = _reg(spark, [{"ADDRESS_ID": "S1", "STREET_NAME": "ԱԲՈՎՅԱՆԻ", "HOUSE": "5", "BUILDING": ""}])
+    cad = _reg(spark, [{"ADDRESS_ID": "C1", "STREET_NAME": "ԱԲՈՎՅԱՆ", "HOUSE": "5", "BUILDING": ""}])
+    out = candidate_pairs(spr, cad, columns=["STREET_NORM"]).toPandas()
+    assert len(out) == 1
+    assert {"STREET_NORM_SPR", "STREET_NORM_CAD"} <= set(out.columns)

@@ -330,3 +330,74 @@ def test_candidate_block_pairs_side_out_matches_shingle_side(spark):
     got = as_map(side_out[0])
     want = as_map(shingle_side(norm, cfg))
     assert got == want
+
+
+def test_score_pairs_side_distinct_false_normalizes_duplicate_hashes(spark):
+    """Kernel contract (round-5 review): the duplicate-count jaccard
+    requires duplicate-free ``sh`` arrays — a side of unknown provenance
+    with repeated hashes over-counts the sorted-concat intersection. Pin
+    that ``side_distinct=False`` normalizes such a side to the exact
+    scores of the clean one."""
+    from registry_address_matcher_spark.repos_pipeline import (
+        ReposMatchConfig,
+        normalize_repos,
+        score_pairs,
+        shingle_side,
+    )
+
+    cfg = ReposMatchConfig()
+    rows = [
+        ("r1", "a/handler.py", "c1", "py", "def handle(request): return dispatch(request, ROUTES)"),
+        ("r2", "b/handlers.py", "c2", "py", "def handle(request): return dispatch(request, ROUTES)  # fork"),
+        ("r3", "c/unrelated.py", "c3", "py", "class Widget:\n    pass"),
+    ]
+    repos = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    norm = normalize_repos(repos)
+    side = shingle_side(norm, cfg)
+    ids = {r.path_stem: r.file_id for r in norm.select("file_id", "path_stem").collect()}
+    pairs = spark.createDataFrame(
+        [("py", ids["handler"], ids["handlers"]), ("py", ids["handler"], ids["unrelated"])],
+        "lang string, id_l string, id_r string",
+    )
+    # every hash appears twice — violates the contract by construction
+    dup_side = side.withColumn("sh", F.concat(F.col("sh"), F.col("sh")))
+
+    clean = {
+        (r.id_l, r.id_r): r.jaccard
+        for r in score_pairs(pairs, norm, cfg, checkpoint_side=False, side=side).collect()
+    }
+    normalized = {
+        (r.id_l, r.id_r): r.jaccard
+        for r in score_pairs(
+            pairs, norm, cfg, checkpoint_side=False, side=dup_side, side_distinct=False
+        ).collect()
+    }
+    assert normalized == clean
+    assert clean[(ids["handler"], ids["handlers"])] > 0.5  # non-trivial overlap
+
+
+def test_candidate_block_pairs_cache_out_returns_unpersistable_handles(spark):
+    """Round-5 review: the blocking stage persists internal derivative
+    frames for the life of the session unless the caller releases them;
+    ``cache_out`` hands the persisted frames back so a long-lived session
+    can unpersist after its action completes."""
+    from registry_address_matcher_spark.repos_pipeline import (
+        ReposMatchConfig,
+        candidate_block_pairs,
+        normalize_repos,
+    )
+    from registry_address_matcher_spark.synth import make_repos
+
+    repos, _ = make_repos(spark, n_base=40, seed=5)
+    cfg = ReposMatchConfig()
+    norm = normalize_repos(repos)
+    handles: list = []
+    pairs = candidate_block_pairs(norm, cfg, cache_out=handles)
+    assert pairs.count() >= 0  # materialize while the caches are live
+    assert len(handles) == (2 if cfg.phonetic_blocking else 1)
+    assert all(h.is_cached for h in handles)
+    for h in handles:
+        h.unpersist(True)
+    assert not any(h.is_cached for h in handles)
