@@ -978,7 +978,8 @@ truth labels ({f1['labels']} labeled pairs), run via `bench.py
                 "the round-5 fix set — one pairgen barrier, cache-blocked "
                 "MinHash kernel, 8g driver heap, tmpfs local dir, UDS "
                 "python channels, adaptive CC node-min — brings the median "
-                "to ~7.2 s with clustering back under its round-3 level "
+                "to the 7-9 s band (7.2 and 8.6 across the two round-5 "
+                "confirm runs) with clustering back under its round-3 level "
                 "(median 2.1 s vs 6.1 in round 4), so the r4 number was "
                 "part box noise, part since-removed costs.\n\n"
             )
