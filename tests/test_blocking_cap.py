@@ -173,3 +173,42 @@ def test_salted_join_duplicate_probe_payload_spreads_salt(spark):
         .count()
     )
     assert collapsed == 1
+
+
+def test_salted_join_pair_set_equals_plain_join(spark):
+    """Salting is a physical rewrite only: over a mix of hot keys (above
+    threshold, salted), cold keys (salt 0), probe-only and build-only
+    keys, the salted join's PAIR SET — not just its count — must equal a
+    plain inner join's. Count equality alone could mask a swapped or
+    duplicated pair (e.g. a build row exploded across salts matching a
+    probe row twice, offset by a dropped cold pair)."""
+    from registry_address_matcher_spark.operators.blocking import salted_join
+
+    probe_rows = (
+        [("hot1", f"p{i:02d}") for i in range(30)]
+        + [("hot2", f"q{i:02d}") for i in range(12)]
+        + [("cold", f"c{i}") for i in range(3)]
+        + [("probe_only", "x0")]
+    )
+    build_rows = (
+        [("hot1", f"B{i:02d}") for i in range(25)]
+        + [("hot2", f"D{i:02d}") for i in range(9)]
+        + [("cold", f"E{i}") for i in range(2)]
+        + [("build_only", "Z0")]
+    )
+    probe = spark.createDataFrame(probe_rows, "bk string, pid string")
+    build = spark.createDataFrame(build_rows, "bk string, bid string")
+    scale = ScaleConfig(hot_block_threshold=5, salt_buckets=4)
+
+    got = (
+        salted_join(probe, build, ["bk"], scale, probe_salt_cols=["pid"])
+        .select("bk", "pid", "bid")
+        .toPandas()
+    )
+    want = probe.join(build, "bk").select("bk", "pid", "bid").toPandas()
+
+    key = ["bk", "pid", "bid"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(got_s.drop_duplicates())  # no pair duplicated
+    assert got_s.equals(want_s)
