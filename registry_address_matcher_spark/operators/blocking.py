@@ -122,9 +122,15 @@ def cap_block(
     — the window partitions by (block, salt) and each salt keeps
     ``max_pairs // S`` pairs (+1 for the first ``max_pairs %% S`` salts).
     Kept count is therefore NEVER above ``max_pairs``; it can fall
-    slightly short when a block barely exceeds the cap and some salt
-    buckets run dry (bounded by the binomial spread of a uniform hash —
-    irrelevant for a guard). Ordering is by pair hash with the id pair as
+    slightly short when some salt buckets run dry — kept is exactly
+    ``sum(min(bucket_rows, quota))`` over the block's salts, so a block
+    within the hash spread of the cap (even slightly BELOW it) may be
+    trimmed. The shortfall is bounded by the binomial spread of a
+    uniform hash: negligible at production quotas (1M pairs / 32 salts
+    = 31250 per salt), material only when ``max_pairs`` is within a few
+    multiples of ``salt_buckets`` — acceptable for a guard, not an
+    exact-quota primitive (pinned by
+    ``tests/test_blocking_cap.py::test_cap_block_quota_smaller_than_salt_buckets``). Ordering is by pair hash with the id pair as
     tie-break, so truncation is stable across runs and cluster sizes.
     Returns (kept_pairs, truncation_report); report rows
     (block key, total_pairs, kept_pairs, dropped_pairs) feed

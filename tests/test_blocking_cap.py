@@ -212,3 +212,37 @@ def test_salted_join_pair_set_equals_plain_join(spark):
     want_s = want.sort_values(key).reset_index(drop=True)
     assert len(got_s) == len(got_s.drop_duplicates())  # no pair duplicated
     assert got_s.equals(want_s)
+
+
+def test_cap_block_quota_smaller_than_salt_buckets(spark):
+    """The salt count is clamped to min(salt_buckets, max_pairs): with
+    max_pairs below the bucket count a naive per-salt quota of
+    max_pairs // S == 0 would keep nothing (or the +1 remainder spread
+    would keep up to S pairs, over the cap). The guard contract at tight
+    quotas: per block the kept count is ALWAYS in [1, max_pairs] — never
+    zero, never over — it may fall short of max_pairs when salt buckets
+    run dry (kept = sum(min(bucket_rows, quota)); a small block can even
+    be trimmed below the cap — documented guard semantics, not an exact
+    quota), the truncation report accounts for every dropped pair, and
+    the kept set is deterministic across invocations."""
+    pairs = _pairs(spark)  # hot block: 200 pairs, cold block: 5 pairs
+    for max_pairs in (1, 3, 7):
+        kept, report = cap_block(
+            pairs, ["bk"], "id_l", "id_r", max_pairs, salt_buckets=8
+        )
+        per_block = kept.groupBy("bk").count().toPandas().set_index("bk")["count"]
+        assert 1 <= per_block["hot"] <= max_pairs
+        assert 1 <= per_block["cold"] <= min(5, max_pairs)
+        rep = report.toPandas().set_index("bk")
+        assert rep.loc["hot", "dropped_pairs"] == 200 - per_block["hot"]
+        if per_block["cold"] < 5:
+            assert rep.loc["cold", "dropped_pairs"] == 5 - per_block["cold"]
+        # deterministic across invocations
+        again = (
+            cap_block(pairs, ["bk"], "id_l", "id_r", max_pairs, salt_buckets=8)[0]
+            .toPandas()
+            .sort_values(["bk", "id_l", "id_r"])
+            .reset_index(drop=True)
+        )
+        k = kept.toPandas().sort_values(["bk", "id_l", "id_r"]).reset_index(drop=True)
+        assert k.equals(again)
