@@ -401,3 +401,60 @@ def test_candidate_block_pairs_cache_out_returns_unpersistable_handles(spark):
     for h in handles:
         h.unpersist(True)
     assert not any(h.is_cached for h in handles)
+
+
+def test_no_content_files_cluster_together_not_with_content(spark):
+    """NULL and empty content both reduce to the empty shingle set (the
+    fused MinHash kernel emits the same empty-set signature for either),
+    so all no-content files co-band and fuzzy-score jaccard 1.0 against
+    each other — the empty-__init__.py corpus case — while
+    no-content-vs-some scores 0.0 and cannot cross the threshold. The
+    exact path differs by design: "" has a valid content sha (empty
+    files ARE exact duplicates) but sha2(NULL) is NULL and a NULL join
+    key never matches, so NULL-content files reach the cluster only via
+    fuzzy. End result pinned here: one component holding exactly the
+    no-content files, disjoint from every content-bearing file."""
+    from registry_address_matcher_spark.repos_pipeline import (
+        exact_content_pairs,
+        normalize_repos,
+    )
+    from registry_address_matcher_spark.synth import make_repos
+
+    repos, _ = make_repos(spark, n_base=30, dups_per_base=1, seed=9)
+    extra = spark.createDataFrame(
+        [
+            ("r_e1", "a/empty_one.py", "c1", "py", ""),
+            ("r_e2", "b/empty_two.py", "c2", "py", ""),
+            ("r_n1", "c/null_one.py", "c3", "py", None),
+            ("r_n2", "d/null_two.py", "c4", "py", None),
+        ],
+        repos.select("repo", "path", "commit", "lang", "content").schema,
+    )
+    repos_all = repos.select(*extra.columns).unionByName(extra)
+    norm, pairs, clusters = _run_pipeline(spark, repos_all)
+
+    nc_ids = set(
+        norm.filter(F.col("repo").isin("r_e1", "r_e2", "r_n1", "r_n2"))
+        .select("file_id")
+        .toPandas()["file_id"]
+    )
+    assert len(nc_ids) == 4
+
+    comp = clusters.toPandas().set_index("file_id")["component"]
+    nc_comps = {comp[i] for i in nc_ids}
+    assert len(nc_comps) == 1  # all four no-content files in ONE cluster
+    content_comps = {c for i, c in comp.items() if i not in nc_ids}
+    assert nc_comps.isdisjoint(content_comps)
+
+    # exact path: the two ""-content files pair (valid sha over ""), the
+    # NULL-content files are absent (NULL key joins nothing)
+    ex = exact_content_pairs(normalize_repos(repos_all)).toPandas()
+    ex_ids = set(ex.id_l) | set(ex.id_r)
+    e_ids = {i for i in nc_ids} & ex_ids
+    null_ids = set(
+        norm.filter(F.col("repo").isin("r_n1", "r_n2"))
+        .select("file_id")
+        .toPandas()["file_id"]
+    )
+    assert null_ids.isdisjoint(ex_ids)
+    assert len(e_ids) == 2
