@@ -521,10 +521,18 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns; NULL when either
+    vector has zero norm (cosine is undefined there). ``try_divide``,
+    not ``/``: Spark 4 runs ANSI mode by default, where a plain division
+    THROWS DIVIDE_BY_ZERO — one all-zero embedding (a padding row, a
+    failed encoder) would crash every ANN/near-dup job that scans it.
+    NULL is the right value downstream: it ranks below every real
+    similarity in the top-k windows (descending sort puts NULLs last)
+    and fails every ``cos >= threshold`` near-dup filter."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x))
     nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x))
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 def hyperplane_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:

@@ -334,3 +334,43 @@ def test_minhash_fused_text_kernel_contract(spark):
         .toPandas()
     )
     assert sorted(md5_out.loc[0, "sh"]) == sorted(oracle_sh.loc[0, "sh"])
+
+
+def test_zero_norm_embeddings_never_crash_or_rank(spark):
+    """Spark 4 defaults to ANSI mode, where a plain division throws
+    DIVIDE_BY_ZERO — so one all-zero embedding (padding row, failed
+    encoder) used to crash every cosine consumer. cosine_col now uses
+    try_divide: zero-norm rows score NULL, which sorts below every real
+    similarity in the top-k window and fails every >= threshold
+    near-dup filter — they can appear in results only when real
+    candidates run out, never above them, and never as near-dups."""
+    from registry_address_matcher_spark.operators.ann import topk_bruteforce
+    from registry_address_matcher_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    rows = [
+        ("a", [1.0, 0.0, 0.0, 0.0]),
+        ("b", [0.9, 0.1, 0.0, 0.0]),
+        ("z1", [0.0, 0.0, 0.0, 0.0]),  # zero norm
+        ("z2", [0.0, 0.0, 0.0, 0.0]),  # zero norm
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+    # brute-force top-k over the whole table: must not raise; the zero
+    # rows' cos is NULL and ranks after the real match
+    bf = topk_bruteforce(emb, emb.filter(F.col("vec_id") == "a"),
+                         "vec_id", "embedding", k=3).toPandas()
+    assert list(bf.sort_values("rank")["id"])[0] == "b"
+    null_cos = bf[bf["id"].isin(["z1", "z2"])]["cos"]
+    assert null_cos.isna().all()
+    assert (bf[bf["id"] == "b"]["rank"] < bf[bf["id"].isin(["z1", "z2"])]["rank"].min()).all()
+
+    # near-dup: zero-norm rows never pass the threshold filter — not
+    # even against each other (cosine of two zero vectors is undefined,
+    # not 1.0)
+    nd = embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                 threshold=0.5, exact=True).toPandas()
+    ids = set(nd.id_l) | set(nd.id_r)
+    assert "z1" not in ids and "z2" not in ids
+    assert {"a", "b"} <= ids
