@@ -84,6 +84,21 @@ class ScaleConfig:
     # False -> fall back to 4 x defaultParallelism partitions.
     adaptive_scoring_partitions: bool = True
 
+    def __post_init__(self) -> None:
+        # fail fast with a named knob: a zero/negative value otherwise
+        # surfaces deep in a job as an ANSI pmod/divide error or an
+        # empty-quota truncation with no pointer back to the config
+        for knob in (
+            "hot_block_threshold", "salt_buckets", "cc_max_iterations",
+            "pairs_per_partition",
+        ):
+            if getattr(self, knob) < 1:
+                raise ValueError(f"ScaleConfig.{knob} must be >= 1")
+        if self.max_pairs_per_block is not None and self.max_pairs_per_block < 1:
+            raise ValueError(
+                "ScaleConfig.max_pairs_per_block must be >= 1 or None (off)"
+            )
+
 
 @dataclass(frozen=True)
 class EngineConfig:

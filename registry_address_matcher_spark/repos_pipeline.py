@@ -57,6 +57,20 @@ class ReposMatchConfig:
     # twins — used by the driver-oracle configuration)
     hash_mode: str = "xxhash64"
 
+    def __post_init__(self) -> None:
+        # banding slices the signature into bands of num_perm // bands
+        # rows; a non-dividing bands value would silently DROP the
+        # trailing permutations from every band key (weaker LSH than
+        # configured) — reject it instead
+        if self.num_perm < 1 or self.bands < 1 or self.num_perm % self.bands:
+            raise ValueError(
+                f"bands ({self.bands}) must divide num_perm ({self.num_perm})"
+            )
+        if self.hash_mode not in ("xxhash64", "md5"):
+            raise ValueError(f"unknown hash_mode: {self.hash_mode!r}")
+        if self.phonetic_kind not in ("metaphone", "skeleton"):
+            raise ValueError(f"unknown phonetic_kind: {self.phonetic_kind!r}")
+
 
 #: NULL sentinel for the surrogate key: concat_ws SKIPS null arguments in
 #: both Spark and DuckDB, so ('a', NULL, 'b') and ('a', 'b', NULL) would

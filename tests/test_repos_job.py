@@ -458,3 +458,23 @@ def test_no_content_files_cluster_together_not_with_content(spark):
     )
     assert null_ids.isdisjoint(ex_ids)
     assert len(e_ids) == 2
+
+
+def test_config_validation_fails_fast():
+    """Bad knobs must name themselves at construction, not surface as an
+    ANSI pmod error deep in a job (ScaleConfig) or silently weaken the
+    LSH by dropping trailing permutations (non-dividing bands)."""
+    from registry_address_matcher_spark.config import ScaleConfig
+    from registry_address_matcher_spark.repos_pipeline import ReposMatchConfig
+
+    with pytest.raises(ValueError, match="salt_buckets"):
+        ScaleConfig(salt_buckets=0)
+    with pytest.raises(ValueError, match="max_pairs_per_block"):
+        ScaleConfig(max_pairs_per_block=0)
+    ScaleConfig(max_pairs_per_block=None)  # explicit off stays legal
+    with pytest.raises(ValueError, match="must divide"):
+        ReposMatchConfig(num_perm=64, bands=15)
+    with pytest.raises(ValueError, match="hash_mode"):
+        ReposMatchConfig(hash_mode="sha1")
+    with pytest.raises(ValueError, match="phonetic_kind"):
+        ReposMatchConfig(phonetic_kind="soundex")
