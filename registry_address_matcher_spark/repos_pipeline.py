@@ -185,9 +185,14 @@ def banded_ids(sigs: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
             )
     else:
         def band_key(b):
+            # raw bigint, not string: the bucket rides the 16x band
+            # explode's shuffle and keys the salted self-join, so a
+            # fixed 8-byte long beats a ~20-char decimal string on both
+            # shuffle bytes and join-key compares (UTF8String equality
+            # vs primitive). md5 mode keeps strings for oracle parity.
             return F.xxhash64(
                 F.lit(b), *[F.element_at("sig", b * r + i) for i in range(1, r + 1)]
-            ).cast("string")
+            )
 
     entries = F.array(
         *[
@@ -195,7 +200,18 @@ def banded_ids(sigs: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
             for b in range(cfg.bands)
         ]
     )
-    return sigs.select("id", "lang", F.inline(entries))
+    # xxhash64 (scale) mode also narrows the id itself for the ride
+    # through the band explode and the downstream pair shuffles:
+    # unhex() turns the 64-char sha256 hex into its 32-byte binary —
+    # half the wire bytes, and unlike text the nibbles don't compress
+    # (random hex has no lz4 matches, so the string form ships at full
+    # width). Binary comparison is unsigned-lexicographic, which orders
+    # identically to the lowercase-hex form, so id_l < id_r orientation
+    # is unchanged. candidate_block_pairs restores the public hex form
+    # at its boundary. md5 mode keeps strings end-to-end for the
+    # cross-engine oracle.
+    id_col = F.unhex("id").alias("id") if cfg.hash_mode == "xxhash64" else F.col("id")
+    return sigs.select(id_col, "lang", F.inline(entries))
 
 
 def candidate_block_pairs(
@@ -299,8 +315,12 @@ def candidate_block_pairs(
     # race-free: both consumers' BROADCAST sub-jobs (hot-key list,
     # phonetic block sizes) run before the main join stages and warm the
     # cache, so the fat checkpoint is scanned once per derivative.
+    # same binary-id narrowing as banded_ids (see there): the phonetic
+    # pairs union into the band pairs' dedup shuffle, so both branches
+    # must carry the same id representation
+    _id = F.unhex("id").alias("id") if cfg.hash_mode == "xxhash64" else F.col("id")
     keyed = (
-        sigs.select("id", "lang", "pkey").filter(F.col("pkey") != "").persist()
+        sigs.select(_id, "lang", "pkey").filter(F.col("pkey") != "").persist()
         if cfg.phonetic_blocking
         else None
     )
@@ -351,13 +371,24 @@ def candidate_block_pairs(
         if truncation_reports is not None:
             truncation_reports.append(report)
     pairs = pairs.select("lang", "id_l", "id_r")
-    if keyed is None:
-        # band pairs are already unique on (id_l, id_r): each id carries
-        # exactly one lang (both derive from the same file row)
-        return pairs
-    return pairs.unionByName(
-        _phonetic_pairs_from_keyed(keyed, cfg)
-    ).dropDuplicates(["id_l", "id_r"])
+    if keyed is not None:
+        # both branches carry binary ids in xxhash64 mode, so the union's
+        # dedup shuffle still ships 32-byte ids
+        pairs = pairs.unionByName(
+            _phonetic_pairs_from_keyed(keyed, cfg)
+        ).dropDuplicates(["id_l", "id_r"])
+    # else: band pairs are already unique on (id_l, id_r) — each id
+    # carries exactly one lang (both derive from the same file row)
+    if cfg.hash_mode == "xxhash64":
+        # boundary: restore the public sha256-hex surrogate (lower() —
+        # hex() emits uppercase, sha2() lowercase) so callers and the
+        # scoring side table join on the unchanged id form
+        pairs = pairs.select(
+            "lang",
+            F.lower(F.hex("id_l")).alias("id_l"),
+            F.lower(F.hex("id_r")).alias("id_r"),
+        )
+    return pairs
 
 
 def _phonetic_keyed(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
