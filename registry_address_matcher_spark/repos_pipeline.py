@@ -465,6 +465,16 @@ def shingle_side(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
     )
 
 
+#: Above this many candidate pairs, score_pairs stops trusting the
+#: planner with join 1 (pairs ⋈ side on id_l) and co-partitions both
+#: inputs itself. Below it the pair table (~150 B/row -> <= ~30 MB)
+#: broadcasts and the wide side streams shuffle-free — strictly better;
+#: above it the planner's sort-merge at the session shuffle count sorts
+#: the full wide side over W tasks and spill-storms as W grows (see the
+#: join-shape comment in score_pairs).
+_PLANNER_JOIN_MAX_PAIRS = 200_000
+
+
 def score_pairs(
     pairs: DataFrame,
     norm: DataFrame,
@@ -522,9 +532,17 @@ def score_pairs(
     # Join shape matters — the rows get WIDE (two KB-sized shingle arrays
     # per pair) the moment the side attaches, so every downstream
     # exchange/sort of them is priced in GBs:
-    #   * join 1 (id_l): planner's choice — with a small pair table it
-    #     broadcasts the ids and STREAMS the side (zero wide shuffle); at
-    #     scale it degrades to a shuffle join sized by session config.
+    #   * join 1 (id_l): planner's choice while the pair table is small
+    #     enough to broadcast — it then STREAMS the side (zero wide
+    #     shuffle). Past _PLANNER_JOIN_MAX_PAIRS it is explicitly
+    #     co-partitioned to ``n_part`` like join 2: left to the planner
+    #     it became a sort-merge join at the SESSION shuffle count
+    #     (= cores locally), sorting the full wide side over W tasks
+    #     whose execution memory shrinks as W grows — measured at 432k
+    #     files / 1.27M pairs as a spill storm (8-core scoring 92 s wall
+    #     / 904 total cpu-s vs 2-core 133 s / 392; efficiency 0.49).
+    #     Co-partitioned, every sort is ~pairs_per_partition rows at any
+    #     width.
     #   * join 2 (id_r): both inputs are explicitly co-partitioned to
     #     ``n_part`` BEFORE the join. Left at the session shuffle count
     #     (= cores locally), each sort-merge task sorted ~pairs/cores
@@ -539,14 +557,15 @@ def score_pairs(
     #     once more for nothing (ids are sha256-uniform, and per-block
     #     pair caps bound how often one doc can appear on the build
     #     side; AQE skew-join splits any residual hot partition).
-    p = pairs.join(
-        side.select(
-            F.col("file_id").alias("id_l"),
-            F.col("path_stem").alias("stem_l"),
-            F.col("sh").alias("sh_l"),
-        ),
-        "id_l",
+    side_l = side.select(
+        F.col("file_id").alias("id_l"),
+        F.col("path_stem").alias("stem_l"),
+        F.col("sh").alias("sh_l"),
     )
+    if n_pairs is not None and n_pairs > _PLANNER_JOIN_MAX_PAIRS:
+        pairs = pairs.repartition(n_part, "id_l")
+        side_l = side_l.repartition(n_part, "id_l")
+    p = pairs.join(side_l, "id_l")
     p = (
         p.repartition(n_part, "id_r")
         .join(
