@@ -40,9 +40,18 @@ def _noop(df) -> int:
     return df.count()
 
 
+#: pid -> largest utime+stime (seconds) ever sampled for a descendant,
+#: retained after the process dies; plus CPU credited from pids whose
+#: counter went BACKWARDS (pid reuse by a new process). Together these
+#: make _tree_cpu_seconds monotone across descendant deaths.
+_CPU_SEEN: dict[int, float] = {}
+_CPU_GRAVEYARD = 0.0
+_CPU_LOCK = __import__("threading").Lock()  # boundary vs sampler thread
+
+
 def _tree_cpu_seconds() -> float:
-    """Total CPU seconds (user+sys, incl. reaped children) consumed by
-    THIS process and every live descendant (the Spark JVM and its Python
+    """Total CPU seconds (user+sys) consumed by THIS process and every
+    descendant it has EVER sampled (the Spark JVM, pyspark daemons and
     workers). Sampled before/after a timed region, the delta is the
     region's true compute cost — immune to co-tenant CPU steal, which
     inflates WALL time on this shared box by 2-4x in bursts and hits
@@ -50,12 +59,18 @@ def _tree_cpu_seconds() -> float:
     once; a 2-core run rarely waits). Used as supporting evidence next to
     the wall-clock scaling ratios.
 
-    Known limitation: a descendant that dies AND is reparented to init
-    between the before/after samples (orphaned grandchildren) never folds
-    its utime into this process's cutime, slightly understating the
-    delta. Spark's executor/worker processes live for the whole timed
-    region here, so the loss is the odd short-lived helper — acceptable
-    for supporting evidence."""
+    Accounting: per-pid utime+stime of live descendants, with the
+    last-seen value RETAINED once a pid disappears. The earlier
+    cutime-based form double-dipped into wait(2) folding and lost the
+    CPU of worker chains that were killed mid-region (a pyspark daemon
+    SIGKILLed with unreaped workers takes their accumulated time to
+    init) — observed as a NEGATIVE per-stage delta at a 2-core 432k-file
+    run. Retention never double-counts because cutime/cstime are never
+    read. Remaining holes, both small here: a helper that spawns AND
+    dies entirely between two samples is invisible, and a reused pid is
+    handled by crediting the dead process's total to a graveyard sum and
+    restarting the pid's counter."""
+    global _CPU_GRAVEYARD
     me = os.getpid()
     ppid_of: dict[int, int] = {}
     stat_of: dict[int, list[str]] = {}
@@ -79,13 +94,41 @@ def _tree_cpu_seconds() -> float:
             hops += 1
         return p == me
     tck = os.sysconf("SC_CLK_TCK")
-    total = 0.0
-    for p, t in stat_of.items():
-        if mine(p):
-            # utime + stime + cutime + cstime (reaped children fold into
-            # the parent, live ones have their own /proc entry)
-            total += (int(t[11]) + int(t[12]) + int(t[13]) + int(t[14])) / tck
-    return total
+    with _CPU_LOCK:
+        for p, t in stat_of.items():
+            if mine(p):
+                cur = (int(t[11]) + int(t[12])) / tck
+                prev = _CPU_SEEN.get(p, 0.0)
+                if cur >= prev:
+                    _CPU_SEEN[p] = cur
+                else:
+                    # counter went backwards: the pid was reused by a new
+                    # process — bank the dead one's total, restart the pid
+                    _CPU_GRAVEYARD += prev
+                    _CPU_SEEN[p] = cur
+        return _CPU_GRAVEYARD + sum(_CPU_SEEN.values())
+
+
+def _start_cpu_sampler(period: float = 2.0) -> None:
+    """Background daemon thread that re-samples the descendant tree every
+    ``period`` seconds, so _tree_cpu_seconds' per-pid retention tracks a
+    worker chain to within one period of its death. Without it, samples
+    happen only at stage boundaries and a python worker killed mid-stage
+    loses its whole stage's burn (the very hole retention exists to
+    close). The walk is a few ms over /proc; at a 2 s period the sampler
+    itself is noise. Started in the measurement workers, where cpu
+    columns are evidence."""
+    import threading
+
+    def loop():
+        while True:
+            time.sleep(period)
+            try:
+                _tree_cpu_seconds()
+            except OSError:
+                pass
+
+    threading.Thread(target=loop, daemon=True, name="cpu-sampler").start()
 
 
 def _pin_cpus(n: int | None) -> bool:
@@ -619,7 +662,10 @@ def _exec_section(exec_res: dict | None, e_eff: float | None) -> str:
         for k, v in sorted(exec_res.items())
     )
     return f"""
-Third evidence line — the same repos job on **local-cluster[N,{EXEC_CORES},mem]**,
+Third evidence line — the repos job (at {exec_res[lo]['files']} files — its own
+table column; the thread-local line above may use a larger corpus, each
+line's size is the one its behavior was characterized at) on
+**local-cluster[N,{EXEC_CORES},mem]**,
 the north rule's N vs {hi // lo}N EXECUTORS literally: N REAL executor JVMs
 (separate processes, own heaps/GC, per-executor Python workers,
 {EXEC_CORES} cores each), the honest in-sandbox stand-in for N cluster
@@ -1105,11 +1151,13 @@ def main() -> None:
         return
     if args.scaling_worker:
         _pin_cpus(_worker_cpu_budget(args.cores, args.executors))
+        _start_cpu_sampler()
         print(json.dumps(run_scaling_job(args.sf_dir, args.cores, args.replicate,
                                          executors=args.executors)))
         return
     if args.repos_scaling_worker:
         _pin_cpus(_worker_cpu_budget(args.cores, args.executors))
+        _start_cpu_sampler()
         print(json.dumps(run_repos_scaling_job(args.cores, n_base=args.repos_base,
                                                executors=args.executors,
                                                warm_base=args.warm_base)))
@@ -1118,6 +1166,7 @@ def main() -> None:
         # pin the same cpuset budget the measured scaling runs get, so
         # the per-stage cpu columns decompose the SAME contention regime
         _pin_cpus(_worker_cpu_budget(args.cores, args.executors))
+        _start_cpu_sampler()
         print(json.dumps(run_repos_stage_profile(args.cores, n_base=args.repos_base,
                                                  executors=args.executors,
                                                  warm_base=args.warm_base)))
