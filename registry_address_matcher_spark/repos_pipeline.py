@@ -465,14 +465,18 @@ def shingle_side(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
     )
 
 
-#: Above this many candidate pairs, score_pairs stops trusting the
-#: planner with join 1 (pairs ⋈ side on id_l) and co-partitions both
-#: inputs itself. Below it the pair table (~150 B/row -> <= ~30 MB)
-#: broadcasts and the wide side streams shuffle-free — strictly better;
-#: above it the planner's sort-merge at the session shuffle count sorts
-#: the full wide side over W tasks and spill-storms as W grows (see the
-#: join-shape comment in score_pairs).
-_PLANNER_JOIN_MAX_PAIRS = 200_000
+#: Up to this many candidate pairs, score_pairs broadcast-HINTS the pair
+#: table into join 1 (pairs ⋈ side on id_l): the wide side then streams
+#: shuffle- and sort-free — strictly better, and ~110 MB of in-memory id
+#: triples at the bound is routine broadcast freight. Above it, both
+#: inputs are explicitly co-partitioned instead. The bound is pinned
+#: (not left to the planner) because the planner's own size estimate
+#: sits near spark.sql.autoBroadcastJoinThreshold right in this regime:
+#: measured at 440k pairs it broadcast (scoring 6.5 s / 8 cores / 216k
+#: files) but at 1.27M pairs it chose sort-merge at the session shuffle
+#: count and spill-stormed (92 s scoring; see the join-shape comment) —
+#: an estimate-drift cliff no caller should be exposed to.
+_BROADCAST_PAIRS_MAX = 600_000
 
 
 def score_pairs(
@@ -532,17 +536,18 @@ def score_pairs(
     # Join shape matters — the rows get WIDE (two KB-sized shingle arrays
     # per pair) the moment the side attaches, so every downstream
     # exchange/sort of them is priced in GBs:
-    #   * join 1 (id_l): planner's choice while the pair table is small
-    #     enough to broadcast — it then STREAMS the side (zero wide
-    #     shuffle). Past _PLANNER_JOIN_MAX_PAIRS it is explicitly
-    #     co-partitioned to ``n_part`` like join 2: left to the planner
-    #     it became a sort-merge join at the SESSION shuffle count
-    #     (= cores locally), sorting the full wide side over W tasks
-    #     whose execution memory shrinks as W grows — measured at 432k
-    #     files / 1.27M pairs as a spill storm (8-core scoring 92 s wall
-    #     / 904 total cpu-s vs 2-core 133 s / 392; efficiency 0.49).
+    #   * join 1 (id_l): broadcast-hinted up to _BROADCAST_PAIRS_MAX
+    #     pairs — the wide side then STREAMS (zero wide shuffle, zero
+    #     sort). Above the bound it is explicitly co-partitioned to
+    #     ``n_part`` like join 2: left to the planner there, it became a
+    #     sort-merge join at the SESSION shuffle count (= cores
+    #     locally), sorting the full wide side over W tasks whose
+    #     execution memory shrinks as W grows — measured at 432k files /
+    #     1.27M pairs as a spill storm (8-core scoring 92 s wall / 904
+    #     total cpu-s vs 2-core 133 s / 392; efficiency 0.49).
     #     Co-partitioned, every sort is ~pairs_per_partition rows at any
-    #     width.
+    #     width. See _BROADCAST_PAIRS_MAX for why the bound is pinned
+    #     rather than left to the planner's size estimate.
     #   * join 2 (id_r): both inputs are explicitly co-partitioned to
     #     ``n_part`` BEFORE the join. Left at the session shuffle count
     #     (= cores locally), each sort-merge task sorted ~pairs/cores
@@ -562,10 +567,15 @@ def score_pairs(
         F.col("path_stem").alias("stem_l"),
         F.col("sh").alias("sh_l"),
     )
-    if n_pairs is not None and n_pairs > _PLANNER_JOIN_MAX_PAIRS:
-        pairs = pairs.repartition(n_part, "id_l")
-        side_l = side_l.repartition(n_part, "id_l")
-    p = pairs.join(side_l, "id_l")
+    if n_pairs is None:
+        p = pairs.join(side_l, "id_l")  # unknown size: planner's call
+    elif n_pairs <= _BROADCAST_PAIRS_MAX:
+        p = F.broadcast(pairs).join(side_l, "id_l")
+    else:
+        p = (
+            pairs.repartition(n_part, "id_l")
+            .join(side_l.repartition(n_part, "id_l"), "id_l")
+        )
     p = (
         p.repartition(n_part, "id_r")
         .join(
