@@ -80,7 +80,11 @@ def _tree_cpu_seconds() -> float:
         try:
             with open(f"/proc/{pid}/stat") as f:
                 tail = f.read().rsplit(")", 1)[1].split()
-        except OSError:
+        except (OSError, IndexError, ValueError):
+            # OSError: pid exited between listdir and open. Index/Value:
+            # a teardown-race read can return empty/truncated content —
+            # skip the pid this sample instead of raising (an exception
+            # here kills the background sampler thread permanently)
             continue
         p = int(pid)
         ppid_of[p] = int(tail[1])
@@ -125,7 +129,11 @@ def _start_cpu_sampler(period: float = 2.0) -> None:
             time.sleep(period)
             try:
                 _tree_cpu_seconds()
-            except OSError:
+            except Exception:
+                # never let one bad sample kill the daemon thread — a
+                # dead sampler silently reverts the run to boundary-only
+                # sampling (the mid-stage worker-death CPU-loss hole this
+                # thread exists to close)
                 pass
 
     threading.Thread(target=loop, daemon=True, name="cpu-sampler").start()
@@ -767,6 +775,11 @@ def _best_of(cmd_tail: list[str], repeats: int, key: str) -> dict:
         r = json.loads(line)
         if best is None or r[key] > best[key]:
             best = r
+    # provenance: how many runs produced this best — rendered into the
+    # methodology text, and preserved when the result is archived as a
+    # reuse JSON (BENCH/*_levels.json) so a regenerated BASELINE.md
+    # cannot stamp the CURRENT CLI's repeat count onto old measurements
+    best["repeats"] = repeats
     return best
 
 
@@ -826,14 +839,20 @@ def run_scaling(
             for s in (raw if isinstance(raw, list) else [raw])
         ]
     else:
+        # repos_base may name SEVERAL job sizes ("144000,72000"): one
+        # level-pair is measured per size, the first is the headline and
+        # the rest render as the scale sweep — so the committed
+        # multi-size sweep is regenerable BY MEASUREMENT, not only by
+        # replaying archived JSONs
+        repos_bases = [int(x) for x in str(repos_base).split(",")]
         repos_sets = [{
             lo: _best_of(["--repos-scaling-worker", "--cores", str(lo),
-                          "--repos-base", str(repos_base), *warm_tail],
+                          "--repos-base", str(b), *warm_tail],
                          repeats, "files_per_sec"),
             hi: _best_of(["--repos-scaling-worker", "--cores", str(hi),
-                          "--repos-base", str(repos_base), *warm_tail],
+                          "--repos-base", str(b), *warm_tail],
                          n_hi, "files_per_sec"),
-        }]
+        } for b in repos_bases]
     repos_res = repos_sets[0]
     r_eff = (repos_res[hi]["files_per_sec"] / repos_res[lo]["files_per_sec"]) / ratio
 
@@ -850,18 +869,27 @@ def run_scaling(
         exec_res = {int(k): v for k, v in json.loads(exec_json).items()}
     elif exec_levels:
         elo, ehi = exec_levels
+        # multi-size repos_base: the exec line is characterized at ONE
+        # size — the first (headline) one
+        exec_base = str(repos_base).split(",")[0]
         exec_res = {
             elo: _best_of(["--repos-scaling-worker", "--executors", str(elo),
-                           "--repos-base", str(repos_base), *warm_tail],
+                           "--repos-base", exec_base, *warm_tail],
                           repeats, "files_per_sec"),
             ehi: _best_of(["--repos-scaling-worker", "--executors", str(ehi),
-                           "--repos-base", str(repos_base), *warm_tail],
+                           "--repos-base", exec_base, *warm_tail],
                           n_hi, "files_per_sec"),
         }
     if exec_res:
         elo, ehi = sorted(exec_res)
         e_eff = (exec_res[ehi]["files_per_sec"] / exec_res[elo]["files_per_sec"]) / (ehi / elo)
 
+    # provenance for the methodology text: how many runs actually
+    # produced each level's best. Fresh measurements carry a "repeats"
+    # field (_best_of stamps it); reuse JSONs from before the field
+    # existed fall back to the CURRENT CLI values only as a last resort.
+    rep_lo = results[lo].get("repeats", repeats)
+    rep_hi = results[hi].get("repeats", n_hi)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
@@ -873,7 +901,7 @@ semantics scorers + per-pair best-strategy selection — on identical
 input ({sf_dir} part-derived registries, probe side replicated with
 per-replica street mutations so the kernel work is real and uncached),
 run at two local parallelism levels as this sandbox's stand-in for N vs
-{ratio:.0f}N executors. Best-of-{repeats} ({lo} cores) / best-of-{n_hi}
+{ratio:.0f}N executors. Best-of-{rep_lo} ({lo} cores) / best-of-{rep_hi}
 ({hi} cores) on an otherwise idle box (see Measurement notes).
 
 | cores | probe rows | pairs scored | stage (s) | pairs/sec | cpu (s) | cpu util |
@@ -897,7 +925,7 @@ parallelism level identically. Production executors are long-lived
 ~100 s timed region, and in local-cluster mode that fixed cost is paid
 PER EXECUTOR JVM — N executors pay N x warmup — which the north rule's
 steady-state throughput criterion does not intend to measure.
-''' if warm_base else ''}Measurement notes: best-of-{repeats} at {lo} cores, best-of-{n_hi} at
+''' if warm_base else ''}Measurement notes: best-of-{rep_lo} at {lo} cores, best-of-{rep_hi} at
 {hi} cores. The high level gets more repeats because this shared box
 suffers multi-minute co-tenant CPU-steal windows that inflate a run's
 wall time 1.3-3x, and a {hi}-core run needs {hi} simultaneously free
@@ -1078,8 +1106,8 @@ truth labels ({f1['labels']} labeled pairs), run via `bench.py
                 "the round-5 fix set — one pairgen barrier, cache-blocked "
                 "MinHash kernel, 8g driver heap, tmpfs local dir, UDS "
                 "python channels, adaptive CC node-min — brings the median "
-                "to the 7-9 s band (7.2 and 8.6 across the two round-5 "
-                "confirm runs) with clustering back under its round-3 level "
+                "to the 7-9 s band (see the round-5 rows below — compare "
+                "their medians) with clustering back under its round-3 level "
                 "(median 2.1 s vs 6.1 in round 4), so the r4 number was "
                 "part box noise, part since-removed costs.\n\n"
             )
@@ -1171,8 +1199,11 @@ def main() -> None:
     # the SHUFFLE (round-2 slim scoring) depressed the ratio while making
     # both levels faster
     ap.add_argument("--replicate", type=int, default=60)
-    ap.add_argument("--repos-base", type=int, default=36000,
-                    help="repos scaling job: synthetic base-file count (3 files each)")
+    ap.add_argument("--repos-base", default="36000",
+                    help="repos scaling job: synthetic base-file count (3 files "
+                         "each). --scaling accepts a comma list of sizes — one "
+                         "level-pair measured per size, first is the headline, "
+                         "the rest render as the scale sweep")
     ap.add_argument("--warm-base", type=int, default=None,
                     help="repos scaling job: run a discarded warm pass on a disjoint "
                          "corpus of this base-file count first, so the timed region "
@@ -1215,7 +1246,7 @@ def main() -> None:
     if args.repos_scaling_worker:
         _pin_cpus(_worker_cpu_budget(args.cores, args.executors))
         _start_cpu_sampler()
-        print(json.dumps(run_repos_scaling_job(args.cores, n_base=args.repos_base,
+        print(json.dumps(run_repos_scaling_job(args.cores, n_base=int(args.repos_base),
                                                executors=args.executors,
                                                warm_base=args.warm_base)))
         return
@@ -1224,7 +1255,7 @@ def main() -> None:
         # the per-stage cpu columns decompose the SAME contention regime
         _pin_cpus(_worker_cpu_budget(args.cores, args.executors))
         _start_cpu_sampler()
-        print(json.dumps(run_repos_stage_profile(args.cores, n_base=args.repos_base,
+        print(json.dumps(run_repos_stage_profile(args.cores, n_base=int(args.repos_base),
                                                  executors=args.executors,
                                                  warm_base=args.warm_base)))
         return
@@ -1236,7 +1267,7 @@ def main() -> None:
         print(json.dumps(res))
         return
     if args.repos_f1:
-        res = run_repos_f1(args.cores, n_base=args.repos_base)
+        res = run_repos_f1(args.cores, n_base=int(args.repos_base))
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(os.path.join(REPO, "BENCH", "repos_f1.json"), "w") as f:
             json.dump(res, f, indent=2)
@@ -1246,6 +1277,10 @@ def main() -> None:
     if cores is None and os.environ.get("SPARK_GRAFT_CPUS"):
         cores = int(os.environ["SPARK_GRAFT_CPUS"])
     if args.bench_worker:
+        # the per-query cpu columns (queries_cpu) are evidence too —
+        # sample continuously so a worker chain that dies mid-query is
+        # retained, exactly like the scaling workers above
+        _start_cpu_sampler()
         print(json.dumps(run_bench(args.sf_dir, cores)))
         return
     result = run_bench_repeated(args.sf_dir, cores, runs=args.runs)

@@ -62,7 +62,12 @@ class ReposMatchConfig:
         # rows; a non-dividing bands value would silently DROP the
         # trailing permutations from every band key (weaker LSH than
         # configured) — reject it instead
-        if self.num_perm < 1 or self.bands < 1 or self.num_perm % self.bands:
+        if self.num_perm < 1 or self.bands < 1:
+            raise ValueError(
+                f"num_perm ({self.num_perm}) and bands ({self.bands}) must "
+                "both be >= 1"
+            )
+        if self.num_perm % self.bands:
             raise ValueError(
                 f"bands ({self.bands}) must divide num_perm ({self.num_perm})"
             )
@@ -475,7 +480,9 @@ def shingle_side(norm: DataFrame, cfg: ReposMatchConfig) -> DataFrame:
 #: measured at 440k pairs it broadcast (scoring 6.5 s / 8 cores / 216k
 #: files) but at 1.27M pairs it chose sort-merge at the session shuffle
 #: count and spill-stormed (92 s scoring; see the join-shape comment) —
-#: an estimate-drift cliff no caller should be exposed to.
+#: an estimate-drift cliff no caller should be exposed to. This is the
+#: DEFAULT of score_pairs' ``broadcast_pairs_max`` parameter — callers
+#: with smaller driver heaps tune it per call, not by editing this.
 _BROADCAST_PAIRS_MAX = 600_000
 
 
@@ -488,6 +495,7 @@ def score_pairs(
     checkpoint_side: bool = True,
     side: DataFrame | None = None,
     side_distinct: bool = True,
+    broadcast_pairs_max: int = _BROADCAST_PAIRS_MAX,
 ) -> DataFrame:
     """Pairwise scoring: native shingle-Jaccard (token-set similarity) +
     one Arrow pass of Jaro-Winkler on path stems. Returns scored pairs
@@ -569,7 +577,7 @@ def score_pairs(
     )
     if n_pairs is None:
         p = pairs.join(side_l, "id_l")  # unknown size: planner's call
-    elif n_pairs <= _BROADCAST_PAIRS_MAX:
+    elif n_pairs <= broadcast_pairs_max:
         p = F.broadcast(pairs).join(side_l, "id_l")
     else:
         p = (
