@@ -157,3 +157,50 @@ def test_arrow_batches_byte_capped(spark):
         <= 8 * 1024 * 1024
     )
     assert int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")) > 0
+
+
+def test_score_pairs_broadcast_policy_pinned(spark):
+    """Join 1's shape must follow score_pairs' EXPLICIT broadcast policy,
+    not the planner's size estimate — the estimate sits near the
+    auto-broadcast threshold right in the regime that matters and flipped
+    to a spill-storming sort-merge at 1.27M pairs (see
+    repos_pipeline._BROADCAST_PAIRS_MAX). With the session's
+    auto-broadcast disabled, any BroadcastHashJoin in the plan can only
+    come from the explicit hint; with broadcast_pairs_max=0 the same tiny
+    job must take the co-partitioned path instead."""
+    from registry_address_matcher_spark.repos_pipeline import (
+        ReposMatchConfig,
+        normalize_repos,
+        score_pairs,
+    )
+
+    cfg = ReposMatchConfig()
+    rows = [
+        (f"r{i}", f"p{i}/f{i}.py", f"c{i}", "py", f"def f{i}(): return {i}")
+        for i in range(6)
+    ]
+    repos = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    norm = normalize_repos(repos)
+    ids = [r.file_id for r in norm.select("file_id").collect()]
+    pairs = spark.createDataFrame(
+        [("py", ids[0], ids[1]), ("py", ids[2], ids[3])],
+        "lang string, id_l string, id_r string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fast = _plan(score_pairs(pairs, norm, cfg, n_pairs=2, checkpoint_side=False))
+        assert "BroadcastHashJoin" in fast  # the hinted join-1 fast path
+        wide = _plan(
+            score_pairs(
+                pairs, norm, cfg, n_pairs=2, checkpoint_side=False,
+                broadcast_pairs_max=0,
+            )
+        )
+        assert "BroadcastHashJoin" not in wide  # knob forces co-partition
+        # the co-partition path shuffles join 1 on id_l by hash
+        assert "hashpartitioning(id_l" in wide
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

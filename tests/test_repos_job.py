@@ -474,6 +474,13 @@ def test_config_validation_fails_fast():
     ScaleConfig(max_pairs_per_block=None)  # explicit off stays legal
     with pytest.raises(ValueError, match="must divide"):
         ReposMatchConfig(num_perm=64, bands=15)
+    # < 1 values name the REAL defect, not the divisibility rule (1
+    # divides 0, so num_perm=0 used to raise the misleading "must
+    # divide" message)
+    with pytest.raises(ValueError, match="must\\s+both be >= 1"):
+        ReposMatchConfig(num_perm=0, bands=1)
+    with pytest.raises(ValueError, match="must\\s+both be >= 1"):
+        ReposMatchConfig(num_perm=64, bands=0)
     with pytest.raises(ValueError, match="hash_mode"):
         ReposMatchConfig(hash_mode="sha1")
     with pytest.raises(ValueError, match="phonetic_kind"):
