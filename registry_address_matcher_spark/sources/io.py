@@ -33,7 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 def read_registry(spark: SparkSession, source: str, **opts) -> DataFrame:
     """One entry point for every registry source.
 
-    source = "parquet:<path>" | "csv:<path>" | "jdbc:<url>" (needs
+    source = "parquet:<path>" | "csv:<path>" | "jsonl:<path>" (newline-
+    delimited JSON, the common landing format for document/training-data
+    exports; gzip transparent) | "orc:<path>" | "jdbc:<url>" (needs
     ``table`` opt and a JDBC driver jar on the classpath) | "table:<ident>"
     (catalog table, e.g. Iceberg) | "rest:<url>" (Supabase/PostgREST-style
     paginated endpoint; ``fetcher``/``page_size``/``headers`` opts).
@@ -43,6 +45,14 @@ def read_registry(spark: SparkSession, source: str, **opts) -> DataFrame:
         return spark.read.parquet(rest)
     if kind == "csv":
         return spark.read.option("header", True).csv(rest)
+    if kind == "jsonl":
+        # schema opt keeps the scan one-pass at scale — without it Spark
+        # runs a whole extra inference pass over 100 TB of text
+        schema = opts.pop("schema", None)
+        reader = spark.read.schema(schema) if schema else spark.read
+        return reader.json(rest)
+    if kind == "orc":
+        return spark.read.orc(rest)
     if kind == "jdbc":
         # JDBC urls keep their full "jdbc:vendor:..." form — the kind
         # prefix IS part of the url, unlike the other source kinds
@@ -132,6 +142,13 @@ def read_rest(
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S5: CSV sink (header on, like the reference's to_csv exports)."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSONL sink — the landing format most document/training-data
+    tooling consumes. Distributed write (one file per partition), no
+    driver collect."""
+    df.write.mode(mode).json(path)
 
 
 # ---------------------------------------------------------------------------

@@ -130,3 +130,36 @@ def test_jdbc_scan_via_stub_driver():
         got = json.loads(line)
     assert got["schema"] == ["id", "name", "val"]
     assert got["rows"] == [[i, f"name-{i}", i * 1.5] for i in range(7)]
+
+
+def test_jsonl_roundtrip_and_schema_pushdown(spark, tmp_path):
+    """jsonl: source/sink round-trip — JSONL is the landing format for
+    document/training-data exports. An explicit schema must skip Spark's
+    inference pass (one scan, not two, at 100 TB) and prune to the named
+    columns."""
+    from registry_address_matcher_spark.sources.io import read_registry, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.5), (2, "b", 1.5)], "id bigint, doc string, score double"
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path)
+    back = read_registry(spark, f"jsonl:{path}")
+    assert {tuple(r) for r in back.select("id", "doc", "score").collect()} == {
+        (1, "a", 0.5),
+        (2, "b", 1.5),
+    }
+    # explicit schema: projection holds without inference
+    slim = read_registry(spark, f"jsonl:{path}", schema="id bigint, doc string")
+    assert slim.columns == ["id", "doc"]
+    assert slim.count() == 2
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from registry_address_matcher_spark.sources.io import read_registry
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id bigint, v string")
+    path = str(tmp_path / "t_orc")
+    df.write.mode("overwrite").orc(path)
+    back = read_registry(spark, f"orc:{path}")
+    assert {tuple(r) for r in back.collect()} == {(1, "x"), (2, "y")}
