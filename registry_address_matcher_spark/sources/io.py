@@ -35,9 +35,12 @@ def read_registry(spark: SparkSession, source: str, **opts) -> DataFrame:
 
     source = "parquet:<path>" | "csv:<path>" | "jsonl:<path>" (newline-
     delimited JSON, the common landing format for document/training-data
-    exports; gzip transparent) | "orc:<path>" | "jdbc:<url>" (needs
-    ``table`` opt and a JDBC driver jar on the classpath) | "table:<ident>"
-    (catalog table, e.g. Iceberg) | "rest:<url>" (Supabase/PostgREST-style
+    exports; gzip transparent) | "orc:<path>" | "text:<path>" (raw text
+    corpus — one row per line, or one row per FILE with its path when
+    ``wholetext=True``; the shape a crawl/scrape dump lands in before it
+    becomes the ``documents`` table) | "jdbc:<url>" (needs ``table`` opt
+    and a JDBC driver jar on the classpath) | "table:<ident>" (catalog
+    table, e.g. Iceberg) | "rest:<url>" (Supabase/PostgREST-style
     paginated endpoint; ``fetcher``/``page_size``/``headers`` opts).
     """
     kind, _, rest = source.partition(":")
@@ -53,6 +56,21 @@ def read_registry(spark: SparkSession, source: str, **opts) -> DataFrame:
         return reader.json(rest)
     if kind == "orc":
         return spark.read.orc(rest)
+    if kind == "text":
+        # wholetext=True: one row per FILE (doc ingestion) — each task
+        # reads whole files, so files must individually fit in executor
+        # memory; fine for crawl shards, wrong for one giant file. Line
+        # mode (default) splits on newlines and parallelizes within a
+        # file. doc_id is the file path so downstream dedup/lineage has
+        # a stable key without a second inference pass.
+        from pyspark.sql import functions as F
+
+        if opts.pop("wholetext", False):
+            df = spark.read.text(rest, wholetext=True)
+            return df.select(
+                F.input_file_name().alias("doc_id"), F.col("value").alias("content")
+            )
+        return spark.read.text(rest)
     if kind == "jdbc":
         # JDBC urls keep their full "jdbc:vendor:..." form — the kind
         # prefix IS part of the url, unlike the other source kinds

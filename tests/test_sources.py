@@ -155,6 +155,35 @@ def test_jsonl_roundtrip_and_schema_pushdown(spark, tmp_path):
     assert slim.count() == 2
 
 
+def test_text_source_line_and_wholetext_modes(spark, tmp_path):
+    """text: raw-corpus source. Line mode = one row per line (the
+    default spark.read.text shape); wholetext mode = one (doc_id,
+    content) row per FILE, doc_id = the file path — the shape a crawl
+    dump enters the documents pipeline in."""
+    from registry_address_matcher_spark.sources.io import read_registry
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "a.txt").write_text("first line\nsecond line\n")
+    (corpus / "b.txt").write_text("only line of b\n")
+
+    lines = read_registry(spark, f"text:{corpus}")
+    assert lines.columns == ["value"]
+    assert {r.value for r in lines.collect()} == {
+        "first line",
+        "second line",
+        "only line of b",
+    }
+
+    docs = read_registry(spark, f"text:{corpus}", wholetext=True)
+    assert docs.columns == ["doc_id", "content"]
+    by_file = {r.doc_id.rsplit("/", 1)[-1]: r.content for r in docs.collect()}
+    assert by_file == {
+        "a.txt": "first line\nsecond line\n",
+        "b.txt": "only line of b\n",
+    }
+
+
 def test_orc_roundtrip(spark, tmp_path):
     from registry_address_matcher_spark.sources.io import read_registry
 
