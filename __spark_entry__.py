@@ -413,6 +413,15 @@ def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation audit: exact dedup + quality floor + lang
+    gate, one deterministic verdict per doc (plans/curate.py)."""
+    from registry_address_matcher_spark.plans.curate import curate_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return curate_documents(docs, "doc_id", "text", min_quality=0.5)
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-shaped windowed agg run in batch: 1h tumbling windows
     per event_type (same plan the streaming path produces)."""
@@ -833,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "text_stats": q_text_stats,
         "lang_id_counts": q_lang_id_counts,
+        "curate_documents": q_curate_documents,
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
         "value_alerts": q_value_alerts,
@@ -1453,6 +1463,47 @@ FROM documents
     ) + " END"
     sqls["lang_id_counts"] = f"""
 SELECT ({argmax}) AS lang_pred, count(*) AS n FROM documents GROUP BY 1
+"""
+    # curate_documents: quality_score_col reproduced term-by-term —
+    # len_ok + punct_ok + digit_ok + word_ok over 4 (functions/text.py:71-80);
+    # same ASCII \w/\s and \p{L} classes already cross-validated by
+    # text_stats; dedup rep = min doc_id per sha256 group, verdict
+    # precedence duplicate > low_quality > unknown_lang (plans/curate.py)
+    _ratio = (
+        "CASE WHEN length(text) > 0 THEN "
+        r"CAST(len(regexp_extract_all(text, '{pat}')) AS DOUBLE) / length(text) "
+        "ELSE 0.0 END"
+    )
+    _punct_ratio = _ratio.format(pat=r"[^\w\s]")
+    _digit_ratio = _ratio.format(pat="[0-9]")
+    sqls["curate_documents"] = f"""
+WITH w AS (
+  SELECT *, list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> regexp_matches(x, '^\\p{{L}}+$')) AS words
+  FROM documents
+),
+m AS (
+  SELECT *, CASE WHEN len(words) > 0
+                 THEN CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words)
+                 ELSE 0.0 END AS wl
+  FROM w
+),
+s AS (
+  SELECT doc_id, sha256(text) AS h, ({argmax}) AS lang_pred,
+         round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+              + greatest(0.0, 1.0 - ({_punct_ratio}) * 4.0)
+              + greatest(0.0, 1.0 - ({_digit_ratio}) * 4.0)
+              + (CASE WHEN wl >= 2.5 AND wl <= 12.0 THEN 1.0 ELSE 0.5 END)
+               ) / 4.0, 6) AS quality
+  FROM m
+),
+r AS (SELECT h, min(doc_id) AS rep_id FROM s GROUP BY h)
+SELECT doc_id, lang_pred, quality,
+       CASE WHEN doc_id <> rep_id THEN 'duplicate'
+            WHEN quality < 0.5 THEN 'low_quality'
+            WHEN lang_pred = 'und' THEN 'unknown_lang'
+            ELSE 'keep' END AS verdict
+FROM s JOIN r USING (h)
 """
     sqls["events_windowed"] = """
 SELECT CAST(date_trunc('hour', ts) AS STRING) AS window_start, event_type,

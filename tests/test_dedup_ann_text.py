@@ -182,6 +182,38 @@ def test_lang_id_on_clear_samples(spark):
     assert list(out.lang) == ["en", "de", "fr", "und"]
 
 
+def test_curate_documents_verdicts(spark):
+    """Verdict precedence is duplicate > low_quality > unknown_lang >
+    keep, and the duplicate representative is min id — a duplicate of a
+    junk doc is still reported 'duplicate' (content identity is
+    threshold-independent, plans/curate.py)."""
+    from registry_address_matcher_spark.plans.curate import curate_documents
+
+    good = (
+        "the cat and the dog are in the house that is for sale today "
+        "and the price is fair for the street with the garden view "
+        "that the family wanted for years in the town they love most"
+    )
+    junk = "@@@ ### !!! %%% ^^^ &&& *** ((( ))) @@@ ### !!! %%%"
+    no_lang = "xyzzy plugh qwop frotz blorb grue zork fnord wibble " * 4
+    rows = [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": good},  # dup of 1
+        {"doc_id": 3, "text": junk},
+        {"doc_id": 4, "text": junk},  # dup of a LOW-QUALITY doc
+        {"doc_id": 5, "text": no_lang},
+    ]
+    out = curate_documents(
+        spark.createDataFrame(pd.DataFrame(rows)), "doc_id", "text"
+    ).toPandas().set_index("doc_id")
+    assert out.loc[1, "verdict"] == "keep"
+    assert out.loc[2, "verdict"] == "duplicate"
+    assert out.loc[3, "verdict"] == "low_quality"
+    assert out.loc[4, "verdict"] == "duplicate"  # precedence over quality
+    assert out.loc[5, "verdict"] == "unknown_lang"
+    assert out.loc[5, "quality"] >= 0.5  # gated on lang, not quality
+
+
 def test_multimodal_plumbing(spark):
     from registry_address_matcher_spark.operators.multimodal import (
         decode_images,
