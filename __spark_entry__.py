@@ -1477,10 +1477,13 @@ SELECT ({argmax}) AS lang_pred, count(*) AS n FROM documents GROUP BY 1
     _punct_ratio = _ratio.format(pat=r"[^\w\s]")
     _digit_ratio = _ratio.format(pat="[0-9]")
     sqls["curate_documents"] = f"""
-WITH w AS (
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+),
+w AS (
   SELECT *, list_filter(string_split_regex(trim(text), '\\s+'),
                         x -> regexp_matches(x, '^\\p{{L}}+$')) AS words
-  FROM documents
+  FROM d
 ),
 m AS (
   SELECT *, CASE WHEN len(words) > 0
@@ -1489,7 +1492,7 @@ m AS (
   FROM w
 ),
 s AS (
-  SELECT doc_id, sha256(text) AS h, ({argmax}) AS lang_pred,
+  SELECT doc_id, length(text) AS n_chars, sha256(text) AS h, ({argmax}) AS lang_pred,
          round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
               + greatest(0.0, 1.0 - ({_punct_ratio}) * 4.0)
               + greatest(0.0, 1.0 - ({_digit_ratio}) * 4.0)
@@ -1499,7 +1502,8 @@ s AS (
 ),
 r AS (SELECT h, min(doc_id) AS rep_id FROM s GROUP BY h)
 SELECT doc_id, lang_pred, quality,
-       CASE WHEN doc_id <> rep_id THEN 'duplicate'
+       CASE WHEN n_chars = 0 THEN 'empty'
+            WHEN doc_id <> rep_id THEN 'duplicate'
             WHEN quality < 0.5 THEN 'low_quality'
             WHEN lang_pred = 'und' THEN 'unknown_lang'
             ELSE 'keep' END AS verdict

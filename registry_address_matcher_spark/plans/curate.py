@@ -9,10 +9,13 @@ skew-safe ``groupBy+min`` + join-back used everywhere else in this repo
 hash's rows through a single task).
 
 Verdict precedence is fixed so re-runs and engines agree:
-``duplicate`` > ``low_quality`` > ``unknown_lang`` > ``keep``. A
-duplicate of a low-quality doc is reported as ``duplicate`` — the dedup
-decision is content-identity, independent of the quality knobs, so the
-audit table stays stable when thresholds move.
+``empty`` > ``duplicate`` > ``low_quality`` > ``unknown_lang`` >
+``keep``. A duplicate of a low-quality doc is reported as ``duplicate``
+— the dedup decision is content-identity, independent of the quality
+knobs, so the audit table stays stable when thresholds move. NULL and
+zero-length content are both ``empty`` (crawl shards contain both; a
+NULL must not vanish from the ledger via a NULL join key), and empty
+docs are never each other's "duplicates".
 """
 
 from __future__ import annotations
@@ -42,11 +45,13 @@ def curate_documents(
     key (AQE turns it into a broadcast when the duplicate-group table is
     small). Everything else is a projection.
     """
+    t = F.coalesce(F.col(text_col), F.lit(""))
     scored = docs.select(
         F.col(id_col),
-        F.sha2(F.col(text_col), 256).alias("h"),
-        lang_id_col(F.col(text_col)).alias("lang_pred"),
-        quality_score_col(F.col(text_col)).alias("quality"),
+        F.length(t).alias("n_chars"),
+        F.sha2(t, 256).alias("h"),
+        lang_id_col(t).alias("lang_pred"),
+        quality_score_col(t).alias("quality"),
     )
     reps = scored.groupBy("h").agg(F.min(id_col).alias("rep_id"))
     return (
@@ -55,7 +60,8 @@ def curate_documents(
             id_col,
             "lang_pred",
             "quality",
-            F.when(F.col(id_col) != F.col("rep_id"), F.lit("duplicate"))
+            F.when(F.col("n_chars") == 0, F.lit("empty"))
+            .when(F.col(id_col) != F.col("rep_id"), F.lit("duplicate"))
             .when(F.col("quality") < F.lit(min_quality), F.lit("low_quality"))
             .when(F.col("lang_pred") == "und", F.lit("unknown_lang"))
             .otherwise(F.lit("keep"))

@@ -197,21 +197,26 @@ def test_curate_documents_verdicts(spark):
     junk = "@@@ ### !!! %%% ^^^ &&& *** ((( ))) @@@ ### !!! %%%"
     no_lang = "xyzzy plugh qwop frotz blorb grue zork fnord wibble " * 4
     rows = [
-        {"doc_id": 1, "text": good},
-        {"doc_id": 2, "text": good},  # dup of 1
-        {"doc_id": 3, "text": junk},
-        {"doc_id": 4, "text": junk},  # dup of a LOW-QUALITY doc
-        {"doc_id": 5, "text": no_lang},
+        (1, good),
+        (2, good),  # dup of 1
+        (3, junk),
+        (4, junk),  # dup of a LOW-QUALITY doc
+        (5, no_lang),
+        (6, ""),  # empty — never anyone's "duplicate"
+        (7, ""),
+        (8, None),  # NULL must stay in the ledger, not vanish on a NULL key
     ]
     out = curate_documents(
-        spark.createDataFrame(pd.DataFrame(rows)), "doc_id", "text"
+        spark.createDataFrame(rows, "doc_id bigint, text string"), "doc_id", "text"
     ).toPandas().set_index("doc_id")
+    assert len(out) == len(rows)  # every doc ledgered, NULL included
     assert out.loc[1, "verdict"] == "keep"
     assert out.loc[2, "verdict"] == "duplicate"
     assert out.loc[3, "verdict"] == "low_quality"
     assert out.loc[4, "verdict"] == "duplicate"  # precedence over quality
     assert out.loc[5, "verdict"] == "unknown_lang"
     assert out.loc[5, "quality"] >= 0.5  # gated on lang, not quality
+    assert list(out.loc[[6, 7, 8], "verdict"]) == ["empty"] * 3
 
 
 def test_multimodal_plumbing(spark):
