@@ -422,6 +422,24 @@ def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_documents(docs, "doc_id", "text", min_quality=0.5)
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep — deterministic md5-bucket train/val/test assignment
+    (plans/corpus.py; retry-stable, engine-portable, unlike rand())."""
+    from registry_address_matcher_spark.plans.corpus import assign_split
+
+    docs = _load(spark, sf_dir, "documents")
+    return assign_split(docs, "doc_id").select("doc_id", "split")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep — 64-token windows per doc (sequence-packing prep),
+    all-native split→sequence→slice→posexplode (plans/corpus.py)."""
+    from registry_address_matcher_spark.plans.corpus import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64)
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-shaped windowed agg run in batch: 1h tumbling windows
     per event_type (same plan the streaming path produces)."""
@@ -843,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id_counts": q_lang_id_counts,
         "curate_documents": q_curate_documents,
+        "train_split": q_train_split,
+        "chunk_documents": q_chunk_documents,
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
         "value_alerts": q_value_alerts,
@@ -1508,6 +1528,32 @@ SELECT doc_id, lang_pred, quality,
             WHEN lang_pred = 'und' THEN 'unknown_lang'
             ELSE 'keep' END AS verdict
 FROM s JOIN r USING (h)
+"""
+    # train_split: same 60-bit md5 bucket as Spark's cross_hash60
+    # (operators/dedup.py:54 == _H60); buckets carved in splits order
+    # train<98, val<99, else test (plans/corpus.py assign_split)
+    _split_bucket = _H60.format(x="doc_id::VARCHAR || ':0'")
+    sqls["train_split"] = f"""
+SELECT doc_id,
+       CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, ({_split_bucket}) % 100 AS b FROM documents)
+"""
+    # chunk_documents: 64-token windows; DuckDB list_slice is 1-based
+    # with an INCLUSIVE end, Spark slice(arr, start, length) — end =
+    # start + 64 - 1 keeps the windows identical
+    sqls["chunk_documents"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(CAST(ceil(len(toks) / 64.0) AS INT))) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       array_to_string(list_slice(toks, chunk_id * 64 + 1, chunk_id * 64 + 64), ' ') AS chunk_text,
+       len(list_slice(toks, chunk_id * 64 + 1, chunk_id * 64 + 64)) AS n_tokens
+FROM c
 """
     sqls["events_windowed"] = """
 SELECT CAST(date_trunc('hour', ts) AS STRING) AS window_start, event_type,

@@ -219,6 +219,51 @@ def test_curate_documents_verdicts(spark):
     assert list(out.loc[[6, 7, 8], "verdict"]) == ["empty"] * 3
 
 
+def test_assign_split_deterministic_and_weighted(spark):
+    """Split assignment is a pure function of (id, seed, splits): stable
+    under repartition, proportions track the weights, and the seed
+    reshuffles membership (plans/corpus.py)."""
+    from registry_address_matcher_spark.plans.corpus import assign_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = assign_split(df, "doc_id").toPandas().set_index("doc_id")["split"]
+    b = assign_split(df.repartition(7), "doc_id").toPandas().set_index("doc_id")["split"]
+    assert a.sort_index().equals(b.sort_index())  # repartition-invariant
+
+    frac = a.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.98) < 0.01
+    assert 0.003 < frac["val"] < 0.02 and 0.003 < frac["test"] < 0.02
+
+    seeded = assign_split(df, "doc_id", seed=1).toPandas().set_index("doc_id")["split"]
+    assert (a.sort_index() != seeded.sort_index()).mean() > 0.01  # seed matters
+
+    with pytest.raises(ValueError):
+        assign_split(df, "doc_id", splits=(("train", -1), ("test", 2)))
+
+
+def test_chunk_documents_windows(spark):
+    """Chunks tile the token stream exactly: full 64-token windows, a
+    short tail, order preserved, concatenation reconstructs the doc."""
+    from registry_address_matcher_spark.plans.corpus import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(150))  # 2 full + 22-token tail
+    rows = [(1, text), (2, "solo"), (3, "")]
+    out = (
+        chunk_documents(spark.createDataFrame(rows, "doc_id bigint, text string"))
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    d1 = out[out.doc_id == 1]
+    assert list(d1.n_tokens) == [64, 64, 22]
+    assert " ".join(d1.chunk_text) == text  # lossless tiling
+    assert list(out[out.doc_id == 2].chunk_text) == ["solo"]
+    # empty doc: one empty chunk (split('') == ['']), never zero rows
+    assert list(out[out.doc_id == 3].chunk_text) == [""]
+
+    with pytest.raises(ValueError):
+        chunk_documents(spark.createDataFrame(rows, "doc_id bigint, text string"), chunk_tokens=0)
+
+
 def test_multimodal_plumbing(spark):
     from registry_address_matcher_spark.operators.multimodal import (
         decode_images,
