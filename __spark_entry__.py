@@ -827,6 +827,55 @@ def q_repos_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_pairs(pairs, norm)
 
 
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo) over the CAD
+    registry: window-5 candidate pairs in (SEARCH_KEY, ADDRESS_ID) order.
+    ER-literature complement to the reference's hash blocking — catches
+    near-misses that share a key PREFIX, with O(n*w) candidates and no
+    hot block by construction."""
+    from registry_address_matcher_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    cad = preprocess_registry(_cad(spark, sf_dir))
+    return sorted_neighborhood_pairs(cad, ["SEARCH_KEY"], "ADDRESS_ID", window=5)
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation (reduction ratio + pairs completeness
+    vs the derivation's ground truth: S<k> matches C<k>) for the two
+    registry blocking strategies, one row each."""
+    from registry_address_matcher_spark.operators.blocking import blocking_quality
+
+    spr = preprocess_registry(_spr(spark, sf_dir)).withColumnRenamed(
+        "ADDRESS_ID", "spr_id"
+    )
+    cad = preprocess_registry(_cad(spark, sf_dir)).withColumnRenamed(
+        "ADDRESS_ID", "cad_id"
+    )
+    truth = spark.sql(
+        "SELECT concat('S', p_partkey) AS spr_id, concat('C', p_partkey) AS cad_id"
+        " FROM part"
+    )
+    out = None
+    for strategy, keys in (
+        ("search_key", ["SEARCH_KEY"]),
+        ("house_building", ["HOUSE_NORM", "BUILDING_NORM"]),
+    ):
+        one = blocking_quality(
+            spr, cad, keys, true_pairs=truth, probe_id="spr_id", build_id="cad_id"
+        ).withColumn("strategy", F.lit(strategy))
+        out = one if out is None else out.unionByName(one)
+    return out.select(
+        "strategy",
+        "n_blocks",
+        "candidate_pairs",
+        "largest_block_pairs",
+        "reduction_ratio",
+        "pairs_completeness",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full exact+key match over the part-derived registries at
     sf0.001, match-type distribution."""
@@ -841,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_key": q_exact_key,
         "unmatched_anti": q_unmatched_anti,
         "block_sizes": q_block_sizes,
+        "snm_pairs": q_snm_pairs,
+        "blocking_quality": q_blocking_quality,
         "candidate_counts": q_candidate_counts,
         "lev_top1": q_lev_top1,
         "jaro_winkler": q_jaro_winkler,
@@ -1349,6 +1400,40 @@ WHERE ADDRESS_ID NOT IN (SELECT ADDRESS_ID_SPR FROM m1)
 SELECT HOUSE_NORM, BUILDING_NORM, count(*) AS block_rows
 FROM ({_NORM_CAD}) WHERE HOUSE_NORM <> ''
 GROUP BY HOUSE_NORM, BUILDING_NORM
+"""
+    sqls["snm_pairs"] = f"""
+WITH cad AS ({_NORM_CAD}),
+ranked AS (
+  SELECT ADDRESS_ID, row_number() OVER (ORDER BY SEARCH_KEY, ADDRESS_ID) AS r
+  FROM cad
+)
+SELECT l.ADDRESS_ID AS id_l, h.ADDRESS_ID AS id_r, h.r - l.r AS rank_dist
+FROM ranked l JOIN ranked h ON h.r - l.r BETWEEN 1 AND 4
+"""
+    _bq_one = lambda strategy, keys: f"""
+SELECT '{strategy}' AS strategy,
+       count(*) AS n_blocks,
+       coalesce(sum(pairs), 0)::BIGINT AS candidate_pairs,
+       coalesce(max(pairs), 0) AS largest_block_pairs,
+       round(1.0 - coalesce(sum(pairs), 0) / ((SELECT count(*) FROM spr) * (SELECT count(*) FROM cad)), 6) AS reduction_ratio,
+       (SELECT round(count(*) / (SELECT count(*) FROM truth), 6)
+        FROM truth t
+        JOIN spr p ON p.ADDRESS_ID = t.spr_id
+        JOIN cad b ON b.ADDRESS_ID = t.cad_id
+        WHERE {" AND ".join(f"p.{k} = b.{k}" for k in keys)}) AS pairs_completeness
+FROM (
+  SELECT pn * bn AS pairs
+  FROM (SELECT {", ".join(keys)}, count(*) AS pn FROM spr GROUP BY {", ".join(keys)}) pp
+  JOIN (SELECT {", ".join(keys)}, count(*) AS bn FROM cad GROUP BY {", ".join(keys)}) bb
+  USING ({", ".join(keys)})
+)
+"""
+    sqls["blocking_quality"] = f"""
+WITH spr AS ({_NORM_SPR}), cad AS ({_NORM_CAD}),
+truth AS (SELECT concat('S', p_partkey) AS spr_id, concat('C', p_partkey) AS cad_id FROM part)
+{_bq_one("search_key", ["SEARCH_KEY"])}
+UNION ALL
+{_bq_one("house_building", ["HOUSE_NORM", "BUILDING_NORM"])}
 """
     sqls["candidate_counts"] = f"""
 WITH spr AS ({_NORM_SPR}), cad AS ({_NORM_CAD})

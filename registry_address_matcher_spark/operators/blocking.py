@@ -160,3 +160,189 @@ def cap_block(
         .withColumn("dropped_pairs", F.col("total_pairs") - F.col("kept_pairs"))
     )
     return kept, report
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based rank over a total order, scalably.
+
+    The naive ``row_number() OVER (ORDER BY ...)`` plans an Exchange
+    SinglePartition — every row through ONE task, the same landmine the
+    CC/star rewrite removed from clustering. Instead:
+
+    1. ``repartitionByRange`` on the order columns — partitions become
+       non-overlapping key ranges, so a LOCAL rank plus the number of
+       rows in all earlier ranges IS the global rank.
+    2. local ``row_number`` windowed by ``spark_partition_id()`` — each
+       window partition is one bounded Spark partition (one extra
+       uniform-key exchange, never a single task).
+    3. per-partition counts (``partitions`` rows — cluster-sized, not
+       data-sized) become broadcast cumulative offsets.
+
+    ``order_cols`` must define a TOTAL order (include a unique id as the
+    final tie-break) — otherwise ranks of ties depend on partition
+    boundaries. The rank values themselves are boundary-invariant: the
+    sampled range splits move WHERE rows sit, not their position in the
+    total order.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(p, *cols)
+        .withColumn("__gr_pid", F.spark_partition_id())
+        # one barrier: the range shuffle feeds two jobs (the offsets
+        # count below and the ranked output) — without it the second
+        # job re-runs the range sampling + shuffle from scratch
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("__gr_pid").orderBy(*cols)
+    local = parted.withColumn("__gr_lrank", F.row_number().over(w))
+    counts = sorted(
+        (r["__gr_pid"], r["n"])
+        for r in parted.groupBy("__gr_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off = spark.createDataFrame(offsets, schema="__gr_pid int, __gr_off long")
+    return (
+        local.join(F.broadcast(off), "__gr_pid")
+        .withColumn(rank_col, F.col("__gr_off") + F.col("__gr_lrank"))
+        .drop("__gr_pid", "__gr_lrank", "__gr_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str,
+    window: int,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): order the
+    records by a sorting key, slide a window of ``window`` rows, and emit
+    every pair of records that co-occur in some window — i.e. all pairs
+    within rank distance 1..window-1. Complements key-equality blocking
+    (``salted_join``): SNM catches near-misses that share a PREFIX of the
+    key but not its exact value, and its candidate count is strictly
+    O(n * window) regardless of key-frequency skew — there is no hot
+    block by construction.
+
+    Scale shape: a :func:`global_rank` (range shuffle + uniform local
+    windows), then pairs via ONE bucket equi-join — records at rank r
+    fall in bucket ``(r-1) div window``; any pair closer than ``window``
+    sits in the same or adjacent buckets, so the left side explodes to
+    ``[b, b+1]`` (2x duplication, uniform) and joins on bucket equality.
+    Buckets have EXACTLY ``window`` rows each, so the join is
+    perfectly balanced: no salting needed.
+
+    Returns (id_l, id_r, rank_dist) with id_l ranked before id_r.
+    Reference analogue: none — the reference only hash-blocks
+    (``advanced_matcher.py:30-55``); SNM is the standard complement in
+    the ER literature.
+    """
+    if window < 2:
+        raise ValueError(f"sorted_neighborhood_pairs: window must be >= 2, got {window}")
+    ranked = global_rank(df, [*order_cols, id_col])
+    slim = ranked.select(
+        F.col(id_col), F.col("rank"), ((F.col("rank") - 1) / window).cast("long").alias("__bkt")
+    )
+    left = (
+        slim.select(
+            F.col(id_col).alias("id_l"),
+            F.col("rank").alias("__r_l"),
+            F.explode(F.array(F.col("__bkt"), F.col("__bkt") + 1)).alias("__bkt"),
+        )
+    )
+    right = slim.select(
+        F.col(id_col).alias("id_r"), F.col("rank").alias("__r_r"), "__bkt"
+    )
+    dist = F.col("__r_r") - F.col("__r_l")
+    return (
+        left.join(right.hint("shuffle_hash"), "__bkt")
+        .filter((dist >= 1) & (dist <= window - 1))
+        .select("id_l", "id_r", dist.alias("rank_dist"))
+    )
+
+
+def blocking_quality(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: list[str],
+    true_pairs: DataFrame | None = None,
+    probe_id: str | None = None,
+    build_id: str | None = None,
+) -> DataFrame:
+    """Blocking-scheme evaluation (Christen's ER survey metrics): how much
+    does a blocking key shrink the comparison space (reduction ratio) and
+    how many TRUE matches survive it (pairs completeness)?
+
+    * ``reduction_ratio`` = 1 - candidate_pairs / (|probe| * |build|)
+    * ``pairs_completeness`` = co-blocked true pairs / |true pairs|
+      (only when ``true_pairs`` with columns (probe_id, build_id) is given)
+
+    candidate_pairs is computed WITHOUT materializing a single pair:
+    per-key counts on each side, one equi-join of the two count tables
+    (block-key cardinality, not row cardinality), sum of products. Every
+    intermediate is an aggregate; the result is ONE row assembled by
+    1-row cross-joins — no driver-side collect in the plan.
+    """
+    p_cnt = probe.groupBy(*keys).agg(F.count(F.lit(1)).alias("__pn"))
+    b_cnt = build.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
+    per_block = p_cnt.join(b_cnt, keys).select(
+        (F.col("__pn") * F.col("__bn")).alias("__pairs")
+    )
+    blocks = per_block.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.coalesce(F.sum("__pairs"), F.lit(0)).alias("candidate_pairs"),
+        F.coalesce(F.max("__pairs"), F.lit(0)).alias("largest_block_pairs"),
+    )
+    totals = (
+        probe.agg(F.count(F.lit(1)).alias("__np"))
+        .crossJoin(build.agg(F.count(F.lit(1)).alias("__nb")))
+    )
+    out = blocks.crossJoin(totals).withColumn(
+        "reduction_ratio",
+        F.round(
+            F.lit(1.0)
+            - F.col("candidate_pairs") / (F.col("__np") * F.col("__nb")),
+            6,
+        ),
+    )
+    if true_pairs is not None:
+        if not (probe_id and build_id):
+            raise ValueError("blocking_quality: true_pairs requires probe_id and build_id")
+        bk = [f"__bk_{c}" for c in keys]
+        co = (
+            true_pairs.join(probe.select(F.col(probe_id), *keys), probe_id)
+            .join(
+                build.select(
+                    F.col(build_id), *[F.col(c).alias(a) for c, a in zip(keys, bk)]
+                ),
+                build_id,
+            )
+            .filter(
+                # a true pair is co-blocked iff it agrees on EVERY key column
+                F.lit(True)
+                if not keys
+                else F.expr(" AND ".join(f"{c} = __bk_{c}" for c in keys))
+            )
+            .select(probe_id, build_id)
+            .distinct()
+        )
+        pc = (
+            co.agg(F.count(F.lit(1)).alias("__co"))
+            .crossJoin(true_pairs.agg(F.count(F.lit(1)).alias("__nt")))
+            .select(
+                F.round(F.col("__co") / F.col("__nt"), 6).alias("pairs_completeness")
+            )
+        )
+        out = out.crossJoin(pc)
+    return out.drop("__np", "__nb")
