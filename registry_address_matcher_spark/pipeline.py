@@ -9,7 +9,7 @@ the reference's chunk loop and Streamlit session state.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -31,6 +31,18 @@ class MatchResult:
     matches: DataFrame          # 16-column match table (union of all phases)
     unmatched_spr: DataFrame    # J7 anti-join
     clusters: DataFrame | None  # transitive components (None if skipped)
+    #: every DataFrame run_match_pipeline persisted — a one-shot batch
+    #: driver can ignore these (executor exit reclaims them), but a
+    #: long-lived driver (streaming foreachBatch, a service looping over
+    #: registries) must release them or block-manager memory grows with
+    #: every pipeline run
+    persisted: list[DataFrame] = field(default_factory=list)
+
+    def release(self) -> None:
+        """Unpersist every frame this run cached (idempotent)."""
+        for df in self.persisted:
+            df.unpersist()
+        self.persisted = []
 
 
 def run_match_pipeline(
@@ -43,11 +55,13 @@ def run_match_pipeline(
     """preprocess -> EXACT_FULL -> EXACT_KEY -> fuzzy(remainder) -> union."""
     spr = preprocess_registry(spr_raw)
     cad = preprocess_registry(cad_raw)
+    handles: list[DataFrame] = []
     if persist:
         # both sides are scanned by multiple phases — materialize once,
         # the Spark analogue of the reference's @st.cache_data memoization
         spr = spr.persist()
         cad = cad.persist()
+        handles += [spr, cad]
 
     m1 = exact_full_matches(spr, cad, cfg.match)
     pairs1 = m1.select("ADDRESS_ID_SPR", "ADDRESS_ID_CAD")
@@ -55,6 +69,7 @@ def run_match_pipeline(
     exact = m1.unionByName(m2)
     if persist:
         exact = exact.persist()
+        handles.append(exact)
 
     remainder = exclude_matched(spr, exact)
     m3 = fuzzy_matches(remainder, cad, cfg.match, cfg.scale)
@@ -62,11 +77,13 @@ def run_match_pipeline(
     matches = exact.unionByName(m3)
     if persist:
         matches = matches.persist()
+        handles.append(matches)
 
     result = MatchResult(
         matches=matches,
         unmatched_spr=unmatched(spr, matches),
         clusters=cluster_matches(matches, cfg.scale) if with_clusters else None,
+        persisted=handles,
     )
     return result
 
