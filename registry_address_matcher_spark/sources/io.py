@@ -162,6 +162,46 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table: pre-pay the join/aggregation shuffle at
+    write time.
+
+    At 10^12-row scale the dominant recurring cost of registry matching
+    is re-shuffling the BUILD side on the blocking key for every probe
+    batch (the incremental_match stream hits it once per micro-batch).
+    ``bucketBy(N, key)`` hash-partitions rows into N buckets per the
+    same modulus Spark's shuffle would use, so any later equi-join or
+    groupBy on the bucket columns between tables with matching bucket
+    counts plans NO Exchange on the bucketed side — the shuffle happened
+    once, at write time (pinned by
+    ``tests/test_sources.py::test_bucketed_join_plans_no_shuffle``).
+    ``sort_cols`` additionally sorts within buckets, letting sort-merge
+    joins skip their sort. Bucketing requires the table catalog
+    (``saveAsTable``) — plain ``.parquet(path)`` writes cannot record
+    bucket metadata; pass ``path`` to keep the data external to the
+    warehouse dir."""
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read — the bucket spec only applies via the table
+    identifier, never via ``read.parquet`` on the files."""
+    return spark.table(table)
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSONL sink — the landing format most document/training-data
     tooling consumes. Distributed write (one file per partition), no

@@ -3,6 +3,7 @@ semantics on the snapshot catalog."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 
 def _fake_pages(pages):
@@ -192,3 +193,33 @@ def test_orc_roundtrip(spark, tmp_path):
     df.write.mode("overwrite").orc(path)
     back = read_registry(spark, f"orc:{path}")
     assert {tuple(r) for r in back.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_bucketed_join_plans_no_shuffle(spark, tmp_path):
+    """Both sides bucketed by the join key with equal bucket counts ->
+    the equi-join must plan ZERO shuffle exchanges: the write-time
+    bucketing IS the shuffle. Also pins result parity vs a plain join."""
+    from registry_address_matcher_spark.sources.io import read_bucketed, write_bucketed
+
+    left = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 37).alias("k"), F.lit("l").alias("side")
+    )
+    right = spark.range(0, 300).select(
+        F.col("id").alias("rid"), (F.col("id") % 37).alias("k")
+    )
+    write_bucketed(left, "bk_left", ["k"], 8, sort_cols=["k"], path=str(tmp_path / "l"))
+    write_bucketed(right, "bk_right", ["k"], 8, sort_cols=["k"], path=str(tmp_path / "r"))
+    try:
+        bl, br = read_bucketed(spark, "bk_left"), read_bucketed(spark, "bk_right")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bl.join(br, "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == left.join(right, "k").count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
