@@ -431,6 +431,17 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(docs, "doc_id").select("doc_id", "split")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep — deterministic per-language downsampling (training
+    mix: all en, half fr, quarter zh, 10% of the rest)."""
+    from registry_address_matcher_spark.plans.corpus import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 1.0, "fr": 0.5, "zh": 0.25}, default_rate=0.1
+    ).select("doc_id", "lang")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus prep — 64-token windows per doc (sequence-packing prep),
     all-native split→sequence→slice→posexplode (plans/corpus.py)."""
@@ -913,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": q_lang_id_counts,
         "curate_documents": q_curate_documents,
         "train_split": q_train_split,
+        "stratified_sample": q_stratified_sample,
         "chunk_documents": q_chunk_documents,
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
@@ -1618,6 +1630,14 @@ FROM s JOIN r USING (h)
     # (operators/dedup.py:54 == _H60); buckets carved in splits order
     # train<98, val<99, else test (plans/corpus.py assign_split)
     _split_bucket = _H60.format(x="doc_id::VARCHAR || ':0'")
+    sqls["stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE ({_split_bucket}) % 1000000 <
+      CASE WHEN lang = 'en' THEN 1000000
+           WHEN lang = 'fr' THEN 500000
+           WHEN lang = 'zh' THEN 250000
+           ELSE 100000 END
+"""
     sqls["train_split"] = f"""
 SELECT doc_id,
        CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split

@@ -81,3 +81,43 @@ def chunk_documents(
     return df.select(
         F.col(id_col), F.posexplode(windows).alias("chunk_id", "w")
     ).select(id_col, "chunk_id", F.col("w.chunk_text"), F.col("w.n_tokens"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the training-mix primitive
+    ("keep 100% of en, 30% of the rest").
+
+    Same contract as :func:`assign_split`, for the same reasons:
+    membership is a pure function of (id, seed, rate) via the cross-engine
+    md5 bucket, so it survives task retry, repartition, and re-runs, and
+    any engine can recompute exactly which rows were kept. ``rates`` maps
+    stratum VALUES to keep-fractions in [0, 1]; strata not listed get
+    ``default_rate``. A NULL stratum gets ``default_rate`` (it matches no
+    key). The filter is a map-side projection — zero shuffle, prunes to
+    (id, stratum) columns at the scan.
+    """
+    for k, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for stratum {k!r} must be in [0,1]: {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0,1]: {default_rate}")
+    u = (
+        cross_hash60(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+        % 1_000_000
+    )
+    # integer thresholds: rate 0.3 keeps buckets [0, 300000) — exact and
+    # renderable as the identical constant in the SQL oracle
+    thr = None
+    for k, r in rates.items():
+        t = F.lit(int(round(r * 1_000_000)))
+        thr = (thr.when if thr is not None else F.when)(F.col(stratum_col) == k, t)
+    default_t = F.lit(int(round(default_rate * 1_000_000)))
+    thr = thr.otherwise(default_t) if thr is not None else default_t
+    return df.filter(u < thr)

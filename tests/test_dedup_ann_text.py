@@ -456,3 +456,35 @@ def test_zero_norm_embeddings_never_crash_or_rank(spark):
     ids = set(nd.id_l) | set(nd.id_r)
     assert "z1" not in ids and "z2" not in ids
     assert {"a", "b"} <= ids
+
+
+def test_stratified_sample_deterministic_and_null_safe(spark):
+    from registry_address_matcher_spark.plans.corpus import stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else ("fr" if i % 3 == 1 else None)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = stratified_sample(df, "lang", {"en": 1.0, "fr": 0.5}, default_rate=0.0)
+    got = {r["doc_id"] for r in kept.collect()}
+    # all en kept; no NULL-stratum rows (default 0); fr subsampled
+    en = {i for i, l in rows if l == "en"}
+    fr = {i for i, l in rows if l == "fr"}
+    assert en <= got
+    assert not any(l is None and i in got for i, l in rows)
+    assert 0 < len(got & fr) < len(fr)
+    # repartitioning cannot change membership
+    got2 = {r["doc_id"] for r in stratified_sample(
+        df.repartition(7), "lang", {"en": 1.0, "fr": 0.5}, default_rate=0.0
+    ).collect()}
+    assert got == got2
+
+
+def test_stratified_sample_validates_rates(spark):
+    import pytest as _pytest
+
+    from registry_address_matcher_spark.plans.corpus import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with _pytest.raises(ValueError, match="rate"):
+        stratified_sample(df, "lang", {"en": 1.5})
+    with _pytest.raises(ValueError, match="default_rate"):
+        stratified_sample(df, "lang", {"en": 1.0}, default_rate=-0.1)
