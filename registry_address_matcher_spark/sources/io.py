@@ -287,6 +287,59 @@ class SnapshotCatalog:
         self._write_manifest(table, m)
         return snap_id
 
+    def merge_snapshot(
+        self,
+        updates: DataFrame,
+        table: str,
+        key_cols: list[str],
+        delete_col: str | None = None,
+    ) -> str:
+        """MERGE (upsert + optional delete) as a copy-on-write snapshot —
+        what ``MERGE INTO`` does on an Iceberg table, expressed over the
+        manifest catalog: the new snapshot is ``updates`` (rows flagged in
+        ``delete_col`` removed) plus every current row whose key is not
+        touched. History is preserved — the pre-merge snapshot stays
+        loadable by id (time travel), and the pointer swap is atomic.
+
+        The plan is one key-anti-join (broadcast-able whenever the update
+        batch is small relative to the table — the normal case for a
+        registry delta feed; AQE picks that up from the update side's
+        size) plus a union: cost is one rewrite of the table, the honest
+        price of copy-on-write. On a real Iceberg catalog use the
+        engine's MERGE INTO instead, which rewrites only matched files.
+
+        ``updates`` must be unique on ``key_cols`` (two updates for one
+        key in a single batch is an upstream bug — detected and raised,
+        never resolved silently) and must carry exactly the table's
+        columns (plus ``delete_col``).
+        """
+        from pyspark.sql import functions as F
+
+        cur = self.load(table)
+        dup = (
+            updates.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            k = {c: dup[0][c] for c in key_cols}
+            raise ValueError(f"merge_snapshot: duplicate update rows for key {k}")
+        upserts = updates
+        if delete_col is not None:
+            upserts = updates.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        if sorted(upserts.columns) != sorted(cur.columns):
+            raise ValueError(
+                f"merge_snapshot: update columns {sorted(upserts.columns)} != "
+                f"table columns {sorted(cur.columns)}"
+            )
+        untouched = cur.join(updates.select(*key_cols), key_cols, "left_anti")
+        merged = untouched.unionByName(upserts.select(*cur.columns))
+        return self.append_snapshot(merged, table)
+
     def load(self, table: str, snapshot: str | None = None) -> DataFrame:
         """Read the current (or a named) snapshot."""
         if self.iceberg:

@@ -293,3 +293,38 @@ def test_match_result_release_unpersists(spark):
     res.release()
     assert res.persisted == []
     assert all(df.storageLevel == StorageLevel.NONE for df in handles)
+
+
+def test_snapshot_merge_upsert_delete_and_time_travel(spark, tmp_path):
+    from registry_address_matcher_spark.sources.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "warehouse"))
+    base = spark.createDataFrame(
+        [(1, "one", 10), (2, "two", 20), (3, "three", 30)], "id long, name string, v long"
+    )
+    s0 = cat.append_snapshot(base, "t")
+
+    updates = spark.createDataFrame(
+        [(2, "TWO", 22, False), (4, "four", 40, False), (3, None, 0, True)],
+        "id long, name string, v long, is_delete boolean",
+    )
+    cat.merge_snapshot(updates, "t", ["id"], delete_col="is_delete")
+
+    got = {(r["id"], r["name"], r["v"]) for r in cat.load("t").collect()}
+    assert got == {(1, "one", 10), (2, "TWO", 22), (4, "four", 40)}
+    # time travel: the pre-merge snapshot is intact
+    old = {(r["id"], r["name"], r["v"]) for r in cat.load("t", snapshot=s0).collect()}
+    assert old == {(1, "one", 10), (2, "two", 20), (3, "three", 30)}
+    assert len(cat.snapshots("t")) == 2
+
+    # duplicate update keys are an error, never silently resolved
+    dup = spark.createDataFrame(
+        [(5, "a", 1, False), (5, "b", 2, False)],
+        "id long, name string, v long, is_delete boolean",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        cat.merge_snapshot(dup, "t", ["id"], delete_col="is_delete")
+    # schema drift is an error
+    bad = spark.createDataFrame([(6, "x")], "id long, name string")
+    with pytest.raises(ValueError, match="columns"):
+        cat.merge_snapshot(bad, "t", ["id"])
