@@ -431,6 +431,18 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(docs, "doc_id").select("doc_id", "split")
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion QA — per-column profile of lineitem's numeric columns
+    (counts + order statistics only, so the profile replays bit-identically
+    cross-engine; see plans/quality.table_profile)."""
+    from registry_address_matcher_spark.plans.quality import table_profile
+
+    li = _load(spark, sf_dir, "lineitem")
+    return table_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus prep — deterministic per-language downsampling (training
     mix: all en, half fr, quarter zh, 10% of the rest)."""
@@ -925,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": q_curate_documents,
         "train_split": q_train_split,
         "stratified_sample": q_stratified_sample,
+        "table_profile": q_table_profile,
         "chunk_documents": q_chunk_documents,
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
@@ -1630,6 +1643,43 @@ FROM s JOIN r USING (h)
     # (operators/dedup.py:54 == _H60); buckets carved in splits order
     # train<98, val<99, else test (plans/corpus.py assign_split)
     _split_bucket = _H60.format(x="doc_id::VARCHAR || ':0'")
+    sqls["table_profile"] = """
+SELECT 'l_quantity' AS "column",
+       count(l_quantity) AS n,
+       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+       count(DISTINCT l_quantity) AS n_distinct,
+       min(l_quantity)::DOUBLE AS min_v,
+       max(l_quantity)::DOUBLE AS max_v,
+       quantile_cont(l_quantity, 0.5) AS p50
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice' AS "column",
+       count(l_extendedprice) AS n,
+       sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+       count(DISTINCT l_extendedprice) AS n_distinct,
+       min(l_extendedprice)::DOUBLE AS min_v,
+       max(l_extendedprice)::DOUBLE AS max_v,
+       quantile_cont(l_extendedprice, 0.5) AS p50
+FROM lineitem
+UNION ALL
+SELECT 'l_discount' AS "column",
+       count(l_discount) AS n,
+       sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+       count(DISTINCT l_discount) AS n_distinct,
+       min(l_discount)::DOUBLE AS min_v,
+       max(l_discount)::DOUBLE AS max_v,
+       quantile_cont(l_discount, 0.5) AS p50
+FROM lineitem
+UNION ALL
+SELECT 'l_tax' AS "column",
+       count(l_tax) AS n,
+       sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+       count(DISTINCT l_tax) AS n_distinct,
+       min(l_tax)::DOUBLE AS min_v,
+       max(l_tax)::DOUBLE AS max_v,
+       quantile_cont(l_tax, 0.5) AS p50
+FROM lineitem
+"""
     sqls["stratified_sample"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE ({_split_bucket}) % 1000000 <

@@ -105,3 +105,38 @@ def to_metrics_rows(agg_df: DataFrame, run_id: str, stage: str) -> DataFrame:
         "value",
         F.current_timestamp().alias("recorded_at"),
     )
+
+
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column profile of numeric columns, ONE scan: long-format rows
+    ``(column, n, nulls, n_distinct, min_v, max_v, p50)``.
+
+    The ingestion-QA primitive for a training-data pipeline: run it on
+    every landed shard and diff profiles across snapshots to catch
+    schema rot and distribution drift before training does. All metrics
+    are counts or ORDER STATISTICS — deliberately no mean/stddev, whose
+    floating-point value depends on partition-level summation order and
+    therefore cannot be replayed bit-identically by another engine (the
+    DuckDB oracle matches this profile exactly; a drift-diff built on it
+    never false-positives on reduction order). One wide aggregate then
+    an unpivot: the scan reads only ``cols``.
+    """
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__n_{c}"),
+            F.sum(col.isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.countDistinct(col).alias(f"__nd_{c}"),
+            F.min(col).cast("double").alias(f"__min_{c}"),
+            F.max(col).cast("double").alias(f"__max_{c}"),
+            F.percentile(col, F.lit(0.5)).alias(f"__p50_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __n_{c}, __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}, __p50_{c}"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (column, n, nulls, n_distinct, min_v, max_v, p50)"
+    )

@@ -328,3 +328,18 @@ def test_snapshot_merge_upsert_delete_and_time_travel(spark, tmp_path):
     bad = spark.createDataFrame([(6, "x")], "id long, name string")
     with pytest.raises(ValueError, match="columns"):
         cat.merge_snapshot(bad, "t", ["id"])
+
+
+def test_table_profile_counts_and_order_stats(spark):
+    from registry_address_matcher_spark.plans.quality import table_profile
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (2.0, 30.0), (None, 40.0)], "a double, b double"
+    )
+    rows = {r["column"]: r for r in table_profile(df, ["a", "b"]).collect()}
+    a = rows["a"]
+    assert (a["n"], a["nulls"], a["n_distinct"]) == (3, 1, 2)
+    assert (a["min_v"], a["max_v"], a["p50"]) == (1.0, 2.0, 2.0)
+    b = rows["b"]
+    assert (b["n"], b["nulls"], b["n_distinct"]) == (3, 1, 3)
+    assert b["p50"] == 30.0
