@@ -1438,8 +1438,8 @@ FROM ranked l JOIN ranked h ON h.r - l.r BETWEEN 1 AND 4
     _bq_one = lambda strategy, keys: f"""
 SELECT '{strategy}' AS strategy,
        count(*) AS n_blocks,
-       coalesce(sum(pairs), 0)::BIGINT AS candidate_pairs,
-       coalesce(max(pairs), 0) AS largest_block_pairs,
+       coalesce(sum(pairs), 0)::DOUBLE AS candidate_pairs,
+       coalesce(max(pairs), 0)::DOUBLE AS largest_block_pairs,
        round(1.0 - coalesce(sum(pairs), 0) / ((SELECT count(*) FROM spr) * (SELECT count(*) FROM cad)), 6) AS reduction_ratio,
        (SELECT round(count(*) / (SELECT count(*) FROM truth), 6)
         FROM truth t
@@ -1447,7 +1447,7 @@ SELECT '{strategy}' AS strategy,
         JOIN cad b ON b.ADDRESS_ID = t.cad_id
         WHERE {" AND ".join(f"p.{k} = b.{k}" for k in keys)}) AS pairs_completeness
 FROM (
-  SELECT pn * bn AS pairs
+  SELECT pn::DOUBLE * bn AS pairs
   FROM (SELECT {", ".join(keys)}, count(*) AS pn FROM spr GROUP BY {", ".join(keys)}) pp
   JOIN (SELECT {", ".join(keys)}, count(*) AS bn FROM cad GROUP BY {", ".join(keys)}) bb
   USING ({", ".join(keys)})

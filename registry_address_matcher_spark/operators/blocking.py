@@ -167,6 +167,7 @@ def global_rank(
     order_cols: list[str],
     rank_col: str = "rank",
     partitions: int | None = None,
+    release_handle: list | None = None,
 ) -> DataFrame:
     """Global 1-based rank over a total order, scalably.
 
@@ -188,7 +189,15 @@ def global_rank(
     boundaries. The rank values themselves are boundary-invariant: the
     sampled range splits move WHERE rows sit, not their position in the
     total order.
+
+    The range-shuffled input is persisted (it feeds two jobs: the
+    offsets count and the ranked output). A caller that loops (a
+    ranking service) should pass ``release_handle=[]`` and
+    ``unpersist()`` the appended frame once the ranked output is
+    consumed, the same contract as ``MatchResult.persisted``; otherwise
+    the cache lives until session end / LRU eviction.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -197,11 +206,17 @@ def global_rank(
     parted = (
         df.repartitionByRange(p, *cols)
         .withColumn("__gr_pid", F.spark_partition_id())
-        # one barrier: the range shuffle feeds two jobs (the offsets
-        # count below and the ranked output) — without it the second
-        # job re-runs the range sampling + shuffle from scratch
-        .localCheckpoint()
+        # cache at the barrier: the range shuffle feeds two jobs (the
+        # offsets count below and the ranked output) — without it the
+        # second job re-runs the range sampling + shuffle from scratch.
+        # persist (not localCheckpoint) so release_handle.unpersist()
+        # actually frees the blocks; partition ids are stable under
+        # eviction+recompute because the shuffle dependency pins the
+        # range boundaries.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if release_handle is not None:
+        release_handle.append(parted)
     w = Window.partitionBy("__gr_pid").orderBy(*cols)
     local = parted.withColumn("__gr_lrank", F.row_number().over(w))
     counts = sorted(
@@ -225,6 +240,7 @@ def sorted_neighborhood_pairs(
     order_cols: list[str],
     id_col: str,
     window: int,
+    release_handle: list | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): order the
     records by a sorting key, slide a window of ``window`` rows, and emit
@@ -250,7 +266,7 @@ def sorted_neighborhood_pairs(
     """
     if window < 2:
         raise ValueError(f"sorted_neighborhood_pairs: window must be >= 2, got {window}")
-    ranked = global_rank(df, [*order_cols, id_col])
+    ranked = global_rank(df, [*order_cols, id_col], release_handle=release_handle)
     slim = ranked.select(
         F.col(id_col), F.col("rank"), ((F.col("rank") - 1) / window).cast("long").alias("__bkt")
     )
@@ -296,13 +312,18 @@ def blocking_quality(
     """
     p_cnt = probe.groupBy(*keys).agg(F.count(F.lit(1)).alias("__pn"))
     b_cnt = build.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
+    # products and their sum in DOUBLE: at the 10^12-row scale this
+    # evaluates, |probe|*|build| and even one hot block's pn*bn overflow
+    # int64 (and wrap silently under non-ANSI arithmetic). Doubles are
+    # exact through 2^53 — far past any count a human reads off this
+    # report — and never wrap.
     per_block = p_cnt.join(b_cnt, keys).select(
-        (F.col("__pn") * F.col("__bn")).alias("__pairs")
+        (F.col("__pn").cast("double") * F.col("__bn")).alias("__pairs")
     )
     blocks = per_block.agg(
         F.count(F.lit(1)).alias("n_blocks"),
-        F.coalesce(F.sum("__pairs"), F.lit(0)).alias("candidate_pairs"),
-        F.coalesce(F.max("__pairs"), F.lit(0)).alias("largest_block_pairs"),
+        F.coalesce(F.sum("__pairs"), F.lit(0.0)).alias("candidate_pairs"),
+        F.coalesce(F.max("__pairs"), F.lit(0.0)).alias("largest_block_pairs"),
     )
     totals = (
         probe.agg(F.count(F.lit(1)).alias("__np"))
@@ -312,7 +333,8 @@ def blocking_quality(
         "reduction_ratio",
         F.round(
             F.lit(1.0)
-            - F.col("candidate_pairs") / (F.col("__np") * F.col("__nb")),
+            - F.col("candidate_pairs")
+            / (F.col("__np").cast("double") * F.col("__nb")),
             6,
         ),
     )

@@ -51,17 +51,28 @@ def run_match_pipeline(
     cfg: EngineConfig = DEFAULT,
     with_clusters: bool = True,
     persist: bool = True,
+    cad_preprocessed: bool = False,
 ) -> MatchResult:
-    """preprocess -> EXACT_FULL -> EXACT_KEY -> fuzzy(remainder) -> union."""
+    """preprocess -> EXACT_FULL -> EXACT_KEY -> fuzzy(remainder) -> union.
+
+    ``cad_preprocessed=True`` means ``cad_raw`` already went through
+    :func:`preprocess_registry` AND the caller owns its caching — the
+    pipeline will neither re-normalize nor persist/unpersist it. This is
+    the repeated-probe-batch path (streaming incremental_match, services
+    looping over probe feeds): normalize the static build side once,
+    persist it once, reuse it across every call.
+    """
     spr = preprocess_registry(spr_raw)
-    cad = preprocess_registry(cad_raw)
+    cad = cad_raw if cad_preprocessed else preprocess_registry(cad_raw)
     handles: list[DataFrame] = []
     if persist:
         # both sides are scanned by multiple phases — materialize once,
         # the Spark analogue of the reference's @st.cache_data memoization
         spr = spr.persist()
-        cad = cad.persist()
-        handles += [spr, cad]
+        handles.append(spr)
+        if not cad_preprocessed:
+            cad = cad.persist()
+            handles.append(cad)
 
     m1 = exact_full_matches(spr, cad, cfg.match)
     pairs1 = m1.select("ADDRESS_ID_SPR", "ADDRESS_ID_CAD")

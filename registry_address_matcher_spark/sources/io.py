@@ -308,16 +308,39 @@ class SnapshotCatalog:
         price of copy-on-write. On a real Iceberg catalog use the
         engine's MERGE INTO instead, which rewrites only matched files.
 
-        ``updates`` must be unique on ``key_cols`` (two updates for one
-        key in a single batch is an upstream bug — detected and raised,
-        never resolved silently) and must carry exactly the table's
-        columns (plus ``delete_col``).
+        ``updates`` must be unique and NON-NULL on ``key_cols`` (two
+        updates for one key in a batch, or a keyless row, is an upstream
+        bug — detected and raised, never resolved silently) and must
+        carry exactly the table's columns (plus ``delete_col``).
         """
         from pyspark.sql import functions as F
 
+        if self.iceberg:
+            # append_snapshot's Iceberg branch APPENDS — applying this
+            # copy-on-write merge through it would stack the merged table
+            # on top of the pre-merge rows (silent duplication). Iceberg
+            # has a native MERGE that rewrites only matched files; use it.
+            raise NotImplementedError(
+                "merge_snapshot on an Iceberg catalog: run the engine's "
+                f"MERGE INTO {self.iceberg}.{table} instead"
+            )
         cur = self.load(table)
+        # materialize the batch once: it is read by the key checks, the
+        # anti-join, and the snapshot write — re-running a
+        # non-deterministic update source between the check and the write
+        # could merge a batch that never passed the check
+        upd = updates.localCheckpoint()
+        null_key = F.lit(False)
+        for c in key_cols:
+            null_key = null_key | F.col(c).isNull()
+        if upd.filter(null_key).limit(1).count() > 0:
+            raise ValueError(
+                f"merge_snapshot: update rows with NULL in key {key_cols} — a "
+                "NULL key never equi-joins, so the row would duplicate instead "
+                "of upserting"
+            )
         dup = (
-            updates.groupBy(*key_cols)
+            upd.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > 1)
             .limit(1)
@@ -326,9 +349,9 @@ class SnapshotCatalog:
         if dup:
             k = {c: dup[0][c] for c in key_cols}
             raise ValueError(f"merge_snapshot: duplicate update rows for key {k}")
-        upserts = updates
+        upserts = upd
         if delete_col is not None:
-            upserts = updates.filter(
+            upserts = upd.filter(
                 ~F.coalesce(F.col(delete_col), F.lit(False))
             ).drop(delete_col)
         if sorted(upserts.columns) != sorted(cur.columns):
@@ -336,7 +359,7 @@ class SnapshotCatalog:
                 f"merge_snapshot: update columns {sorted(upserts.columns)} != "
                 f"table columns {sorted(cur.columns)}"
             )
-        untouched = cur.join(updates.select(*key_cols), key_cols, "left_anti")
+        untouched = cur.join(upd.select(*key_cols), key_cols, "left_anti")
         merged = untouched.unionByName(upserts.select(*cur.columns))
         return self.append_snapshot(merged, table)
 

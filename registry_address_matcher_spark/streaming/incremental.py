@@ -15,10 +15,11 @@ independence makes this exactly equivalent to one batch run (pinned by
 So ``union(matches per micro-batch) == matches(one batch over the whole
 probe set)``, and the operator needs NO state store: arrived rows are
 matched once, emitted once (append semantics), regardless of how the
-stream is chunked. The build side is the static DataFrame — callers
-should ``.persist()`` it so each micro-batch re-reads memory, not
-storage; at cluster scale point the checkpointLocation at durable
-storage and the sink at an append table.
+stream is chunked. The build side is normalized and persisted ONCE, up
+front — every micro-batch reuses the cached preprocessed registry
+instead of re-running the normalization chain per batch; at cluster
+scale point the checkpointLocation at durable storage and the sink at
+an append table.
 
 Reference analogue: none — the reference is batch-only (its chunk loop
 is progress UI, ``advanced_matcher.py:280-360``); SURVEY §2.8 names
@@ -43,15 +44,27 @@ def incremental_match(
     cfg: EngineConfig = DEFAULT,
 ) -> DataStreamWriter:
     """Writer that matches each probe micro-batch against ``cad_static``
-    with the full pipeline and hands the 16-column match table to
+    (RAW registry columns — normalized + persisted here, once) with the
+    full pipeline, handing the 16-column match table to
     ``sink(matches_df, batch_id)``. Caller starts it (``.start()`` /
-    ``.trigger(availableNow=True)``) and owns checkpointLocation."""
+    ``.trigger(availableNow=True)``) and owns checkpointLocation. The
+    cached build side lives as long as the writer; it is NOT released
+    per batch — stop the query and ``cad_prepared.unpersist()`` is the
+    session's job (executor exit reclaims it otherwise)."""
+    from ..operators.preprocess import preprocess_registry
+
+    cad_prepared = preprocess_registry(cad_static).persist()
 
     def _match_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         res = run_match_pipeline(
-            batch_df, cad_static, cfg=cfg, with_clusters=False, persist=True
+            batch_df,
+            cad_prepared,
+            cfg=cfg,
+            with_clusters=False,
+            persist=True,
+            cad_preprocessed=True,
         )
         try:
             sink(res.matches, batch_id)

@@ -119,3 +119,15 @@ def test_blocking_quality_requires_ids_with_truth(spark):
     df = spark.createDataFrame([("p1", "a")], "pid string, k string")
     with pytest.raises(ValueError, match="probe_id"):
         blocking_quality(df, df, ["k"], true_pairs=df)
+
+
+def test_global_rank_release_handle_unpersists(spark, frame):
+    from pyspark import StorageLevel
+
+    handle: list = []
+    ranked = global_rank(frame, ["k", "id"], release_handle=handle)
+    ranked.count()
+    assert len(handle) == 1
+    assert handle[0].storageLevel != StorageLevel.NONE
+    handle[0].unpersist()
+    assert handle[0].storageLevel == StorageLevel.NONE
