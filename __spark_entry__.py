@@ -899,6 +899,61 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: query terms for the TF-IDF relevance query — present in the synthetic
+#: documents vocabulary, shared verbatim by the Spark query and the oracle
+_TFIDF_TERMS = ("spark", "query", "window")
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text relevance — TF-IDF score of every document against a fixed
+    query-term bag, top 20 (training-data slice selection / quality-
+    weighted sampling). Token stream is filtered to the query terms
+    before any shuffle; df/N ride as broadcasts."""
+    from registry_address_matcher_spark.functions.text import tfidf_scores
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = tfidf_scores(docs, list(_TFIDF_TERMS))
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 CSV sink -> S3 CSV scan, end-to-end under the oracle gate: the
+    nation table written with the package's CSV sink and re-read with its
+    CSV source must reproduce the parquet contents exactly (CSV carries
+    no types, so the read side restores them by explicit cast)."""
+    import os as _os
+    import tempfile as _tf
+
+    from registry_address_matcher_spark.sources.io import read_registry, write_csv
+
+    tmp = _os.path.join(_tf.gettempdir(), f"spark_graft_csv_rt_{_os.getpid()}")
+    write_csv(_load(spark, sf_dir, "nation"), tmp)
+    back = read_registry(spark, f"csv:{tmp}")
+    return back.select(
+        F.col("n_nationkey").cast("int"),
+        F.col("n_name"),
+        F.col("n_regionkey").cast("int"),
+    )
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink -> JSONL scan round-trip on supplier (string + numeric
+    columns; JSON preserves numerics so only int-width casts apply)."""
+    import os as _os
+    import tempfile as _tf
+
+    from registry_address_matcher_spark.sources.io import read_registry, write_jsonl
+
+    tmp = _os.path.join(_tf.gettempdir(), f"spark_graft_jsonl_rt_{_os.getpid()}")
+    sup = _load(spark, sf_dir, "supplier")
+    write_jsonl(sup, tmp)
+    back = read_registry(spark, f"jsonl:{tmp}")
+    # JSON infers long/double; select in the table's column order with
+    # the parquet widths restored
+    casts = {f.name: f.dataType.simpleString() for f in sup.schema.fields}
+    return back.select(*[F.col(c).cast(t).alias(c) for c, t in casts.items()])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full exact+key match over the part-derived registries at
     sf0.001, match-type distribution."""
@@ -934,6 +989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "text_stats": q_text_stats,
         "lang_id_counts": q_lang_id_counts,
+        "tfidf_topk": q_tfidf_topk,
+        "csv_roundtrip": q_csv_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "curate_documents": q_curate_documents,
         "train_split": q_train_split,
         "stratified_sample": q_stratified_sample,
@@ -1594,6 +1652,26 @@ FROM documents
     sqls["lang_id_counts"] = f"""
 SELECT ({argmax}) AS lang_pred, count(*) AS n FROM documents GROUP BY 1
 """
+    _terms_in = ", ".join(f"'{t}'" for t in _TFIDF_TERMS)
+    sqls["tfidf_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t IN ({_terms_in})
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, round(sum(tf * ln(n::DOUBLE / df)), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN n
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+    # round-trips: the oracle is the identity — the sink+scan pair must
+    # reproduce the parquet contents bit-for-bit
+    sqls["csv_roundtrip"] = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    sqls["jsonl_roundtrip"] = "SELECT * FROM supplier"
     # curate_documents: quality_score_col reproduced term-by-term —
     # len_ok + punct_ok + digit_ok + word_ok over 4 (functions/text.py:71-80);
     # same ASCII \w/\s and \p{L} classes already cross-validated by

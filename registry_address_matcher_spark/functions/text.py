@@ -115,3 +115,45 @@ def fingerprint_col(col: Column, base: int = 1_000_003, mod: int = (1 << 61) - 1
         ),
     )
     return merged["h"].cast("long")
+
+
+def tfidf_scores(
+    docs,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+):
+    """TF-IDF relevance of every document against a bag of query
+    ``terms``: ``score(d) = sum_t tf(t, d) * ln(N / df(t))`` over the
+    query terms only, smallest-footprint formulation for a corpus scan:
+
+    * tokenize natively (``lower`` + split on ``[^a-z0-9]+``) and filter
+      the exploded stream to the query terms BEFORE any aggregation —
+      the shuffle carries only (id, matched term) rows, never the full
+      token stream, so a 100 TB corpus shuffles megabytes, not itself;
+    * ``df(t)`` (documents containing t) and the corpus size ``N`` are
+      query-term-sized / single-row aggregates, joined back as
+      broadcasts — no second corpus-wide shuffle.
+
+    Returns (id_col, score) — one row per document containing at least
+    one query term, score rounded to ``round_to`` for cross-engine
+    comparability. Tokenization is deliberately ASCII-alnum (the BPE-ish
+    pre-tokenizer family above handles richer segmentation); reference
+    has no relevance scoring — this is a training-data-pipeline add
+    (quality-weighted sampling, query-targeted corpus slices).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("w", F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("w"), round_to).alias("score"))
+    )
