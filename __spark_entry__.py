@@ -916,6 +916,54 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — deterministic PII is injected into the synthetic
+    text (which contains none) so every pattern actually fires, then the
+    native redaction chain + per-kind audit counts run over it."""
+    from registry_address_matcher_spark.functions.text import pii_counts, scrub_pii_col
+
+    docs = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("user"), F.col("doc_id"), F.lit("@example.com")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("http://example.org/x?id=1")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("10.0.0.1")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("+1 (415) 555-0100")).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    counts = pii_counts(F.col("text"))
+    return seeded.select(
+        "doc_id",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        F.length(scrub_pii_col(F.col("text"))).alias("scrubbed_len"),
+        F.substring(scrub_pii_col(F.col("text")), 1, 40).alias("scrubbed_prefix"),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition metrics (dup-token / dup-bigram / top-token
+    ratios) — the Gopher-style repetition filters, one scan, no UDF."""
+    from registry_address_matcher_spark.functions.text import repetition_features
+
+    docs = _load(spark, sf_dir, "documents")
+    feats = repetition_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — training docs sharing a word 5-gram
+    with the deterministic eval sample (doc_id % 97 == 0), eval side
+    broadcast."""
+    from registry_address_matcher_spark.operators.dedup import contamination_report
+
+    docs = _load(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_report(docs, eval_df, n=5, exclude_self=True)
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 CSV sink -> S3 CSV scan, end-to-end under the oracle gate: the
     nation table written with the package's CSV sink and re-read with its
@@ -990,6 +1038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id_counts": q_lang_id_counts,
         "tfidf_topk": q_tfidf_topk,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "contamination": q_contamination,
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "curate_documents": q_curate_documents,
@@ -1672,6 +1723,74 @@ LIMIT 20
     # reproduce the parquet contents bit-for-bit
     sqls["csv_roundtrip"] = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
     sqls["jsonl_roundtrip"] = "SELECT * FROM supplier"
+    # PII scrub: same literal patterns (Java-regex / RE2 common subset,
+    # functions/text.py::PII_PATTERNS), same injection, same chain order
+    _pii_seed = r"""
+SELECT doc_id,
+       concat_ws(' ',
+         'user' || doc_id || '@example.com',
+         CASE WHEN doc_id % 3 = 0 THEN 'http://example.org/x?id=1' ELSE '' END,
+         CASE WHEN doc_id % 5 = 0 THEN '10.0.0.1' ELSE '' END,
+         CASE WHEN doc_id % 7 = 0 THEN '+1 (415) 555-0100' ELSE '' END,
+         text) AS text
+FROM documents
+"""
+    _pii_chain = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+        r"'https?://[^\s]+', '<URL>', 'g'), "
+        r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        r"'\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'), "
+        r"'\+\d[\d().\- ]{6,}\d', '<PHONE>', 'g')"
+    )
+    sqls["pii_scrub"] = rf"""
+WITH seeded AS ({_pii_seed})
+SELECT doc_id,
+       len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+       len(regexp_extract_all(text, '\b\d{{1,3}}(\.\d{{1,3}}){{3}}\b')) AS n_ipv4,
+       len(regexp_extract_all(text, '\+\d[\d().\- ]{{6,}}\d')) AS n_phone,
+       length({_pii_chain}) AS scrubbed_len,
+       substr({_pii_chain}, 1, 40) AS scrubbed_prefix
+FROM seeded
+"""
+    # shared tokenization for the repetition/contamination oracles: the
+    # exact alnum_tokens_col split (functions/text.py)
+    _toks = r"list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    sqls["repetition_stats"] = f"""
+WITH tk AS (SELECT doc_id, {_toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> concat_ws(' ', toks[i], toks[i+1]))
+              ELSE []::VARCHAR[] END AS grams
+  FROM tk)
+SELECT doc_id,
+  round(CASE WHEN len(toks) > 0 THEN (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks) ELSE 0.0 END, 6) AS dup_token_ratio,
+  round(CASE WHEN len(grams) > 0 THEN (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams) ELSE 0.0 END, 6) AS dup_ngram_ratio,
+  round(CASE WHEN len(toks) > 0
+        THEN coalesce(list_max(list_transform(list_distinct(toks),
+                                 t -> len(list_filter(toks, x -> x = t)))), 0)::DOUBLE / len(toks)
+        ELSE 0.0 END, 6) AS top_token_ratio
+FROM g
+"""
+    sqls["contamination"] = f"""
+WITH tk AS (SELECT doc_id, {_toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 5
+           THEN list_transform(generate_series(1, len(toks) - 4),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))
+           ELSE []::VARCHAR[] END)) AS gram
+  FROM tk),
+e AS (SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id AS train_id,
+       count(DISTINCT g.gram) AS n_grams_hit,
+       count(DISTINCT e.eval_id) AS n_eval_docs
+FROM g JOIN e USING (gram)
+WHERE g.doc_id <> e.eval_id
+GROUP BY 1
+"""
     # curate_documents: quality_score_col reproduced term-by-term —
     # len_ok + punct_ok + digit_ok + word_ok over 4 (functions/text.py:71-80);
     # same ASCII \w/\s and \p{L} classes already cross-validated by

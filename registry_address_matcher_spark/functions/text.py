@@ -157,3 +157,100 @@ def tfidf_scores(
         .groupBy(id_col)
         .agg(F.round(F.sum("w"), round_to).alias("score"))
     )
+
+
+# --- PII scrubbing -----------------------------------------------------------
+# Pattern set kept to the Java-regex / RE2 COMMON subset (no lookaround,
+# no backreferences) so the same literal patterns run in Spark and in any
+# RE2-based oracle engine. Order matters and is part of the contract:
+# URL before EMAIL (a URL can embed an @userinfo part), EMAIL before
+# PHONE (digits inside an email must not be half-redacted).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    ("phone", r"\+\d[\d().\- ]{6,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii_col(col: Column) -> Column:
+    """Redact URLs / emails / IPv4s / +phone-numbers in one native
+    regexp_replace chain (training-data hygiene pass; zero Python,
+    pipelines through whole-stage codegen like any string expression)."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-pattern hit counts BEFORE scrubbing (audit sidecar: how much
+    was redacted, by kind). Counted independently on the raw text —
+    overlaps (an email inside a URL) are counted under both kinds; the
+    scrub chain itself resolves overlaps by its fixed order."""
+    return {name: F.regexp_count(col, F.lit(pat)) for name, pat, _ in PII_PATTERNS}
+
+
+# --- repetition metrics ------------------------------------------------------
+
+def alnum_tokens_col(col: Column) -> Column:
+    """lower + split on non-[a-z0-9] runs, empties dropped — the shared
+    tokenizer of tfidf_scores / word_ngrams_col (ASCII by design)."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def word_ngrams_col(col: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined, duplicates KEPT — repetition
+    metrics need multiplicity). Short texts short-circuit to empty: the
+    naive ``sequence(1, cnt-(n-1))`` yields a DESCENDING [1, 0] when the
+    doc has fewer than n tokens (same landmine ngram_shingles guards)."""
+    toks = alnum_tokens_col(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), cnt - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(col: Column, ngram_n: int = 2) -> dict[str, Column]:
+    """Within-document repetition metrics (the Gopher/MassiveText-style
+    repetition filters, re-expressed natively):
+
+    * ``dup_token_ratio``   — 1 - distinct/total tokens
+    * ``dup_ngram_ratio``   — 1 - distinct/total word n-grams
+    * ``top_token_ratio``   — frequency share of the most common token
+
+    All three are array expressions over one tokenization — no shuffle,
+    no UDF; a 100 TB corpus pays exactly one scan."""
+    toks = alnum_tokens_col(col)
+    cnt = F.size(toks)
+    grams = word_ngrams_col(col, ngram_n)
+    gcnt = F.size(grams)
+    # top-token share as a run-length aggregate over the SORTED tokens —
+    # O(n log n) per doc. The obvious transform(distinct, t ->
+    # size(filter(toks, = t))) is O(distinct x total): quadratic on a
+    # degenerate document, the exact doc class this filter exists to catch
+    sorted_t = F.sort_array(toks)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    def _step(acc, t):
+        run = F.when(acc["prev"].eqNullSafe(t), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+    top = F.aggregate(sorted_t, acc0, _step)["best"]
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731
+    return {
+        "dup_token_ratio": F.round(safe(cnt - F.size(F.array_distinct(toks)), cnt), 6),
+        "dup_ngram_ratio": F.round(safe(gcnt - F.size(F.array_distinct(grams)), gcnt), 6),
+        "top_token_ratio": F.round(safe(F.coalesce(top, F.lit(0)), cnt), 6),
+    }

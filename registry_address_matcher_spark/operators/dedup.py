@@ -627,3 +627,54 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_l", "id_r", "cos")
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one word ``n``-gram with any eval-set document — the standard
+    pre-training hygiene pass (eval answers leaking into the corpus).
+
+    Scale shape: the eval side is benchmark-sized (thousands of docs),
+    so its distinct (gram, eval_id) set rides as a BROADCAST; the
+    training corpus pays exactly one scan + explode and the join never
+    shuffles the corpus. Grams join as strings so any SQL engine can
+    replay the check verbatim; at 100 TB substitute ``xxhash64(gram)``
+    on both sides to slim the broadcast (collision odds ~1e-9 per
+    trillion grams — acceptable for a FLAG, noted here rather than
+    defaulted because the oracle joins on text).
+
+    ``exclude_self`` drops train_id == eval_id rows for the common smoke
+    setup where the eval set is sampled from the training table itself.
+
+    Returns (train_id, n_grams_hit, n_eval_docs) for contaminated docs
+    only. Reference has no decontamination — training-pipeline add.
+    """
+    from ..functions.text import word_ngrams_col
+
+    eid = eval_id_col or id_col
+    etx = eval_text_col or text_col
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(F.array_distinct(word_ngrams_col(F.col(text_col), n))).alias("gram"),
+    )
+    e = eval_df.select(
+        F.col(eid).alias("eval_id"),
+        F.explode(F.array_distinct(word_ngrams_col(F.col(etx), n))).alias("gram"),
+    ).distinct()
+    hits = t.join(F.broadcast(e), "gram")
+    if exclude_self:
+        hits = hits.filter(F.col("train_id") != F.col("eval_id"))
+    return hits.groupBy("train_id").agg(
+        F.count_distinct("gram").alias("n_grams_hit"),
+        F.count_distinct("eval_id").alias("n_eval_docs"),
+    )
