@@ -916,6 +916,18 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
 
 
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistics aggregation — exact interpolated percentiles per
+    group (Spark `percentile`, not the approx sketch: the oracle is
+    DuckDB quantile_cont, both linear-interpolation on sorted values)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.95), 6).alias("p95"),
+        F.round(F.percentile("l_quantity", 0.25), 6).alias("qty_p25"),
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing — deterministic PII is injected into the synthetic
     text (which contains none) so every pattern actually fires, then the
@@ -1038,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id_counts": q_lang_id_counts,
         "tfidf_topk": q_tfidf_topk,
+        "group_quantiles": q_group_quantiles,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
@@ -1723,6 +1736,13 @@ LIMIT 20
     # reproduce the parquet contents bit-for-bit
     sqls["csv_roundtrip"] = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
     sqls["jsonl_roundtrip"] = "SELECT * FROM supplier"
+    sqls["group_quantiles"] = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25
+FROM lineitem GROUP BY 1
+"""
     # PII scrub: same literal patterns (Java-regex / RE2 common subset,
     # functions/text.py::PII_PATTERNS), same injection, same chain order
     _pii_seed = r"""

@@ -657,11 +657,56 @@ def run_repos_stage_profile(
     return out
 
 
-def _exec_section(exec_res: dict | None, e_eff: float | None) -> str:
+def _exec_sweep_reading(exec_sets, lo: int, hi: int) -> str:
+    """Interpretation paragraph under the exec size-sweep table, computed
+    from the measurements so a re-run can't contradict its own prose.
+    The two candidate causes of the exec gap move OPPOSITE ways with job
+    size (fixed per-JVM cost amortizes; remote-shuffle serde and shared-
+    host DRAM contention are proportional-or-growing), so the trend's
+    direction identifies the dominant one."""
+    sets = sorted(exec_sets, key=lambda r: r[lo]["files"])
+    effs = [
+        (r[hi]["files_per_sec"] / r[lo]["files_per_sec"]) / (hi / lo) for r in sets
+    ]
+    big = sets[-1]
+    pg_ratio = None
+    if big[lo].get("pairgen_seconds") and big[hi].get("pairgen_seconds"):
+        pg_ratio = big[lo]["pairgen_seconds"] / big[hi]["pairgen_seconds"]
+    sc_ratio = None
+    if big[lo].get("scoring_seconds") and big[hi].get("scoring_seconds"):
+        sc_ratio = big[lo]["scoring_seconds"] / big[hi]["scoring_seconds"]
+    falls = effs[-1] < effs[0]
+    direction = (
+        "FALLS as the job grows, so the gap is the proportional costs — "
+        "remote-fetch serde on the inter-JVM shuffle plus one host's DRAM "
+        "channels shared by every executor — not amortizable per-JVM "
+        "overhead. Both are exactly the costs a real cluster distributes "
+        "across per-host memory channels and NICs, which is why this line "
+        "is read as a FLOOR on real-cluster scaling rather than an "
+        "estimate of it"
+        if falls
+        else "RISES as the job grows, the amortization signature of fixed "
+        "per-JVM overhead"
+    )
+    stage = ""
+    if pg_ratio is not None and sc_ratio is not None:
+        stage = (
+            f" The stage split localizes it: at the largest size the "
+            f"pairgen stage (the band-join inter-JVM shuffle) speeds up only "
+            f"{pg_ratio:.1f}x on a {hi // lo}x budget, while scoring (Arrow "
+            f"kernels, partition-local) gets {sc_ratio:.1f}x."
+        )
+    return f"\nReading: exec-mode efficiency {direction}.{stage}\n"
+
+
+def _exec_section(exec_sets, e_eff: float | None) -> str:
     """BASELINE.md section for the local-cluster (real executor JVM)
-    repos-job runs; empty string when that mode wasn't measured."""
-    if not exec_res or e_eff is None:
+    repos-job runs; empty string when that mode wasn't measured.
+    ``exec_sets`` holds one {level: result} dict per JOB SIZE — the
+    first is the headline, further sets render as the exec size sweep."""
+    if not exec_sets or e_eff is None:
         return ""
+    exec_res = exec_sets[0]
     lo, hi = sorted(exec_res)
     rows = "\n".join(
         f"| {k} | {v['files']} | {v['pairs_scored']} | {v.get('pairgen_seconds', '-')} "
@@ -669,6 +714,41 @@ def _exec_section(exec_res: dict | None, e_eff: float | None) -> str:
         f"| {v.get('cpu_seconds', '-')} | {v.get('cpu_util', '-')} |"
         for k, v in sorted(exec_res.items())
     )
+    tail = ""
+    if len(exec_sets) > 1:
+        sweep_rows = "\n".join(
+            f"| {res[lo]['files']} | {res[lo]['pairs_scored']} | "
+            f"{(res[hi]['files_per_sec'] / res[lo]['files_per_sec']) / (hi / lo):.3f} | "
+            f"{_cpu_ratio(res, lo, hi)} |"
+            for res in sorted(exec_sets, key=lambda r: r[lo]["files"])
+        )
+        extra = "\n".join(
+            f"| {k} | {v['files']} | {v['pairs_scored']} | {v.get('pairgen_seconds', '-')} "
+            f"| {v.get('scoring_seconds', '-')} | {v['seconds']} | {v['files_per_sec']} "
+            f"| {v.get('cpu_seconds', '-')} | {v.get('cpu_util', '-')} |"
+            for res in exec_sets[1:]
+            for k, v in sorted(res.items())
+        )
+        tail = f"""
+The same executor-JVM pair at the other sweep size(s). The exec gap has
+two candidate causes with OPPOSITE size behavior: per-JVM fixed costs
+(heap/GC/python-worker pools) amortize as the timed region grows, while
+the inter-JVM remote-shuffle serde cost is PROPORTIONAL to shuffle
+bytes and shared-host DRAM contention GROWS with the working set — so
+the direction of the efficiency-vs-size trend identifies which
+dominates:
+
+| executors ({EXEC_CORES} cores each) | files | pairs scored | pairgen (s) | scoring (s) | total (s) | files/sec | cpu (s) | cpu util |
+|---|---|---|---|---|---|---|---|---|
+{extra}
+
+Exec-mode efficiency vs job size:
+
+| files | pairs scored | efficiency ({lo}->{hi}) | cpu({lo})/cpu({hi}) |
+|---|---|---|---|
+{sweep_rows}
+
+{_exec_sweep_reading(exec_sets, lo, hi)}"""
     return f"""
 Third evidence line — the repos job (at {exec_res[lo]['files']} files — its own
 table column; the thread-local line above may use a larger corpus, each
@@ -698,7 +778,7 @@ the timed region at both levels.
 executors): {e_eff:.3f} — {"PASS" if e_eff >= 0.8 else "FAIL"}** (north-rule
 requirement >= 0.8). CPU-work conservation cpu({lo})/cpu({hi}) =
 {_cpu_ratio(exec_res, lo, hi)}.
-"""
+{tail}"""
 
 
 def _repos_section(repos_sets: list[dict], lo: int, hi: int) -> str:
@@ -794,6 +874,7 @@ def run_scaling(
     repos_json: str | None = None,
     exec_levels=(2, 8),
     exec_json: str | None = None,
+    exec_bases: str | None = None,
     warm_base: int | None = None,
 ) -> None:
     """North-rule scaling evidence: identical job, two parallelism levels.
@@ -863,24 +944,35 @@ def run_scaling(
     # threads across the host's CPUs, flattering the low level (VERDICT
     # r4 #3); separate executor JVMs bound helpers per executor the way
     # a real cluster's containers do.
+    exec_sets: list[dict[int, dict]] = []
     exec_res: dict[int, dict] | None = None
     e_eff = None
     if exec_json:
-        exec_res = {int(k): v for k, v in json.loads(exec_json).items()}
+        # accepts one {level: result} object or a LIST of them (one per
+        # job size — first is the headline, the rest render as the exec
+        # size sweep), mirroring repos_json
+        raw = json.loads(exec_json)
+        exec_sets = [
+            {int(k): v for k, v in s.items()}
+            for s in (raw if isinstance(raw, list) else [raw])
+        ]
     elif exec_levels:
         elo, ehi = exec_levels
-        # multi-size repos_base: the exec line is characterized at ONE
-        # size — the first (headline) one
-        exec_base = str(repos_base).split(",")[0]
-        exec_res = {
+        # exec_bases may name SEVERAL job sizes; default: the headline
+        # repos size only (exec runs are the most expensive evidence)
+        bases = [
+            x for x in str(exec_bases or str(repos_base).split(",")[0]).split(",")
+        ]
+        exec_sets = [{
             elo: _best_of(["--repos-scaling-worker", "--executors", str(elo),
-                           "--repos-base", exec_base, *warm_tail],
+                           "--repos-base", b, *warm_tail],
                           repeats, "files_per_sec"),
             ehi: _best_of(["--repos-scaling-worker", "--executors", str(ehi),
-                           "--repos-base", exec_base, *warm_tail],
+                           "--repos-base", b, *warm_tail],
                           n_hi, "files_per_sec"),
-        }
-    if exec_res:
+        } for b in bases]
+    if exec_sets:
+        exec_res = exec_sets[0]
         elo, ehi = sorted(exec_res)
         e_eff = (exec_res[ehi]["files_per_sec"] / exec_res[elo]["files_per_sec"]) / (ehi / elo)
 
@@ -915,7 +1007,7 @@ cpu({lo})/cpu({hi}) = {_cpu_ratio(results, lo, hi)} (1.0 = the job does
 identical total compute at both widths; the residual wall gap is
 scheduling/steal, not algorithmic overhead).
 
-{_repos_section(repos_sets, lo, hi)}{_exec_section(exec_res, e_eff)}
+{_repos_section(repos_sets, lo, hi)}{_exec_section(exec_sets, e_eff)}
 {f'''Steady-state methodology for the two repos lines: each worker first
 runs the SAME pipeline on a disjoint {warm_base}-base-file corpus
 (different seed) and discards it, so JIT/codegen/class-load and
@@ -1136,6 +1228,8 @@ truth labels ({f1['labels']} labeled pairs), run via `bench.py
     if exec_res and e_eff is not None:
         out["exec_scaling_efficiency"] = round(e_eff, 3)
         out["exec_levels"] = exec_res
+        if len(exec_sets) > 1:
+            out["exec_levels_all"] = exec_sets
     print(json.dumps(out))
 
 
@@ -1223,7 +1317,12 @@ def main() -> None:
                          "executor fetches every shuffle block process-locally, a free "
                          "ride no level of a real N vs 4N comparison gets")
     ap.add_argument("--exec-json", default=None,
-                    help="reuse local-cluster repos results (the 'exec_levels' JSON object)")
+                    help="reuse local-cluster repos results (the 'exec_levels' JSON "
+                         "object, or a LIST of them — one per job size, first is "
+                         "headline)")
+    ap.add_argument("--exec-bases", default=None,
+                    help="comma list of base-file counts for fresh exec-mode "
+                         "measurement (default: the headline repos size only)")
     args = ap.parse_args()
     if args.scaling:
         levels = tuple(int(x) for x in args.levels.split(","))
@@ -1235,7 +1334,7 @@ def main() -> None:
                     replicate=args.replicate, repos_base=args.repos_base,
                     pair_json=args.pair_json, repos_json=args.repos_json,
                     exec_levels=exec_levels, exec_json=args.exec_json,
-                    warm_base=args.warm_base)
+                    exec_bases=args.exec_bases, warm_base=args.warm_base)
         return
     if args.scaling_worker:
         _pin_cpus(_worker_cpu_budget(args.cores, args.executors))

@@ -488,3 +488,128 @@ def test_stratified_sample_validates_rates(spark):
         stratified_sample(df, "lang", {"en": 1.5})
     with _pytest.raises(ValueError, match="default_rate"):
         stratified_sample(df, "lang", {"en": 1.0}, default_rate=-0.1)
+
+
+def test_pii_scrub_patterns_and_order(spark):
+    """Each PII kind redacts; the chain order resolves overlaps (the
+    email inside a URL stays one <URL>, never a half-redacted mix)."""
+    from registry_address_matcher_spark.functions.text import pii_counts, scrub_pii_col
+
+    rows = [
+        ("a", "mail me at jo.doe+x@example.co.uk today"),
+        ("b", "see https://example.com/u/jo@corp.io?q=1 now"),
+        ("c", "host 192.168.1.254 port 8080"),
+        ("d", "call +44 (0) 20-7946 0958 please"),
+        ("e", "clean text, no identifiers at all"),
+        ("f", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            scrub_pii_col(F.col("text")).alias("s"),
+            *[c.alias(k) for k, c in pii_counts(F.col("text")).items()],
+        ).collect()
+    }
+    assert got["a"]["s"] == "mail me at <EMAIL> today"
+    assert got["a"]["email"] == 1
+    # URL wins over the embedded email: one <URL>, no <EMAIL> remnant
+    assert got["b"]["s"] == "see <URL> now"
+    assert "<EMAIL>" not in got["b"]["s"]
+    assert got["c"]["s"] == "host <IP> port 8080"
+    assert got["d"]["s"] == "call <PHONE> please"
+    assert got["e"]["s"] == rows[4][1]
+    assert got["f"]["s"] is None
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    """Docs with fewer than n tokens yield EMPTY gram arrays — the
+    descending-sequence(1,0) landmine must not fabricate grams."""
+    from registry_address_matcher_spark.functions.text import word_ngrams_col
+
+    df = spark.createDataFrame(
+        [("one",), ("one two",), ("one two three",), ("",), (None,)],
+        "text string",
+    )
+    got = df.select(word_ngrams_col(F.col("text"), 3).alias("g")).collect()
+    assert [r["g"] for r in got[:3]] == [[], [], ["one two three"]]
+    assert got[3]["g"] == []
+
+
+def test_repetition_features_known_values(spark):
+    from registry_address_matcher_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            ("u", "a b c d"),          # all distinct
+            ("r", "x x x x"),          # one token repeated
+            ("m", "a b a b a"),        # alternating
+            ("s", "solo"),             # single token: no bigrams
+        ],
+        "id string, text string",
+    )
+    feats = repetition_features(F.col("text"))
+    got = {
+        r["id"]: r
+        for r in df.select("id", *[c.alias(k) for k, c in feats.items()]).collect()
+    }
+    assert got["u"]["dup_token_ratio"] == 0.0
+    assert got["u"]["top_token_ratio"] == 0.25
+    assert got["r"]["dup_token_ratio"] == 0.75
+    assert got["r"]["dup_ngram_ratio"] == pytest.approx(2 / 3)
+    assert got["r"]["top_token_ratio"] == 1.0
+    # "a b a b a": tokens 5, distinct 2 -> dup 0.6; bigrams
+    # [a b, b a, a b, b a] -> distinct 2 of 4 -> 0.5; top token a=3/5
+    assert got["m"]["dup_token_ratio"] == 0.6
+    assert got["m"]["dup_ngram_ratio"] == 0.5
+    assert got["m"]["top_token_ratio"] == 0.6
+    assert got["s"]["dup_ngram_ratio"] == 0.0
+
+
+def test_contamination_report_flags_exact_ngram_overlap(spark):
+    from registry_address_matcher_spark.operators.dedup import contamination_report
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here nothing shared at all"),
+            (3, "a quick brown fox jumps over my fence yesterday"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the moon")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["train_id"]: r
+        for r in contamination_report(train, eval_df, n=5).collect()
+    }
+    # doc 1 shares "quick brown fox jumps over"; doc 3 shares it too;
+    # doc 2 shares nothing
+    assert set(got) == {1, 3}
+    assert got[1]["n_eval_docs"] == 1
+    assert got[1]["n_grams_hit"] >= 1
+
+
+def test_tfidf_scores_manual_oracle(spark):
+    """Hand-computed tf*ln(N/df) on a 4-doc corpus."""
+    import math
+
+    from registry_address_matcher_spark.functions.text import tfidf_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark is fast"),
+            (2, "spark joins are wide"),
+            (3, "ducks also fly south"),
+            (4, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in tfidf_scores(df, ["spark"]).collect()}
+    idf = math.log(4 / 2)
+    assert set(got) == {1, 2}
+    assert got[1] == pytest.approx(2 * idf, abs=1e-6)
+    assert got[2] == pytest.approx(1 * idf, abs=1e-6)
