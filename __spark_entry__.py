@@ -916,6 +916,23 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
 
 
+def q_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-row compaction — newest event per user, spelled as
+    max_by over a (ts, event_id) total order: ONE shuffle with map-side
+    partial aggregation, strictly cheaper at scale than the
+    row_number-window spelling (full per-partition sort, no partial agg)
+    the oracle uses. Keys are non-null in this table; a null-able CDC
+    key would need the eqNullSafe treatment merge_snapshot documents."""
+    ev = _load(spark, sf_dir, "events")
+    payload = F.struct("event_id", "ts", "event_type", "value")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(payload, order).alias("p"))
+        .select("user_id", "p.*")
+    )
+
+
 def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-statistics aggregation — exact interpolated percentiles per
     group (Spark `percentile`, not the approx sketch: the oracle is
@@ -1051,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": q_lang_id_counts,
         "tfidf_topk": q_tfidf_topk,
         "group_quantiles": q_group_quantiles,
+        "latest_events": q_latest_events,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
@@ -1736,6 +1754,13 @@ LIMIT 20
     # reproduce the parquet contents bit-for-bit
     sqls["csv_roundtrip"] = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
     sqls["jsonl_roundtrip"] = "SELECT * FROM supplier"
+    sqls["latest_events"] = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
     sqls["group_quantiles"] = """
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,

@@ -639,6 +639,7 @@ def contamination_report(
     eval_id_col: str | None = None,
     eval_text_col: str | None = None,
     exclude_self: bool = False,
+    max_eval_df: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag every training document sharing at
     least one word ``n``-gram with any eval-set document — the standard
@@ -656,6 +657,15 @@ def contamination_report(
     ``exclude_self`` drops train_id == eval_id rows for the common smoke
     setup where the eval set is sampled from the training table itself.
 
+    ``max_eval_df`` bounds the hot-gram fan-out: a boilerplate n-gram
+    present in MANY eval docs ("all rights reserved ..." headers)
+    multiplies every matching train row by its eval-side document
+    frequency — at corpus scale one stop-gram can dominate the join
+    output. Grams with eval-df above the bound are dropped BEFORE the
+    join (they carry no contamination signal precisely because they are
+    boilerplate); the filter runs on the eval side only, so it costs one
+    benchmark-sized aggregate, never a corpus pass.
+
     Returns (train_id, n_grams_hit, n_eval_docs) for contaminated docs
     only. Reference has no decontamination — training-pipeline add.
     """
@@ -671,6 +681,17 @@ def contamination_report(
         F.col(eid).alias("eval_id"),
         F.explode(F.array_distinct(word_ngrams_col(F.col(etx), n))).alias("gram"),
     ).distinct()
+    if max_eval_df is not None:
+        if max_eval_df < 1:
+            raise ValueError(f"max_eval_df must be >= 1, got {max_eval_df}")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("gram")
+        e = (
+            e.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_eval_df)
+            .drop("__df")
+        )
     hits = t.join(F.broadcast(e), "gram")
     if exclude_self:
         hits = hits.filter(F.col("train_id") != F.col("eval_id"))

@@ -613,3 +613,30 @@ def test_tfidf_scores_manual_oracle(spark):
     assert set(got) == {1, 2}
     assert got[1] == pytest.approx(2 * idf, abs=1e-6)
     assert got[2] == pytest.approx(1 * idf, abs=1e-6)
+
+
+def test_contamination_max_eval_df_drops_boilerplate_grams(spark):
+    """A gram shared by many eval docs (boilerplate) is dropped before
+    the join under max_eval_df — it carries no contamination signal and
+    multiplies join fan-out by its eval-side df."""
+    from registry_address_matcher_spark.operators.dedup import contamination_report
+
+    boiler = "all rights reserved by the author"
+    train = spark.createDataFrame(
+        [(1, boiler + " plus unique body one"),
+         (2, "totally different content with no overlap whatsoever")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, boiler + " eval answer alpha"),
+         (101, boiler + " eval answer beta"),
+         (102, boiler + " eval answer gamma")],
+        "doc_id long, text string",
+    )
+    uncapped = contamination_report(train, eval_df, n=5)
+    assert {r["train_id"]: r["n_eval_docs"] for r in uncapped.collect()} == {1: 3}
+    capped = contamination_report(train, eval_df, n=5, max_eval_df=1)
+    assert capped.count() == 0
+
+    with pytest.raises(ValueError, match="max_eval_df"):
+        contamination_report(train, eval_df, max_eval_df=0)

@@ -204,3 +204,29 @@ def test_score_pairs_broadcast_policy_pinned(spark):
         assert "hashpartitioning(id_l" in wide
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_text_hygiene_ops_native_and_broadcast(spark):
+    """The round-5 hygiene family stays JVM-side and broadcast-shaped:
+    tfidf (df/N ride as broadcasts, zero Python), contamination (eval
+    side BroadcastHashJoin, no Window unless max_eval_df asks for one),
+    latest_events (partial map-side aggregation, NO window sort)."""
+    import __spark_entry__ as E
+
+    tfidf = E.q_tfidf_topk(spark, SF)
+    plan = _plan(tfidf)
+    assert "EvalPython" not in plan and "BatchEval" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+    cont = E.q_contamination(spark, SF)
+    plan = _plan(cont)
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan  # no cap requested -> no window node
+
+    latest = E.q_latest_events(spark, SF)
+    plan = _plan(latest)
+    # max_by aggregates partially before the shuffle — the window
+    # spelling would show Window + Sort over the full table instead
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "partial_max" in plan
