@@ -347,6 +347,51 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution QA — distribution of connected-component sizes
+    (how many singletons / pairs / mega-clusters the linkage produced):
+    two decomposable aggregates on top of CC, no window."""
+    from registry_address_matcher_spark.operators.cluster import connected_components
+
+    sup = _load(spark, sf_dir, "supplier")
+    edges = sup.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def q_registry_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry reconciliation — full-outer join of the two registries'
+    SEARCH_KEY spaces, classifying keys as both / spr_only / cad_only
+    with per-side record counts (which addresses exist on one side
+    only). Covers the full-outer join class; key-grouped counts join, so
+    the shuffle carries distinct keys, not records."""
+    spr = preprocess_registry(_spr(spark, sf_dir)).groupBy("SEARCH_KEY").agg(
+        F.count(F.lit(1)).alias("n_spr")
+    )
+    cad = preprocess_registry(_cad(spark, sf_dir)).groupBy("SEARCH_KEY").agg(
+        F.count(F.lit(1)).alias("n_cad")
+    )
+    j = spr.join(cad, "SEARCH_KEY", "full_outer")
+    cls = (
+        F.when(F.col("n_spr").isNotNull() & F.col("n_cad").isNotNull(), "both")
+        .when(F.col("n_spr").isNotNull(), "spr_only")
+        .otherwise("cad_only")
+    )
+    return j.groupBy(cls.alias("presence")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.coalesce("n_spr", F.lit(0))).alias("spr_records"),
+        F.sum(F.coalesce("n_cad", F.lit(0))).alias("cad_records"),
+    )
+
+
 def q_registry_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A5 — registry quality aggregates (SURVEY §2.4)."""
     from registry_address_matcher_spark.plans.quality import registry_quality
@@ -1069,6 +1114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "group_quantiles": q_group_quantiles,
         "latest_events": q_latest_events,
+        "cluster_size_hist": q_cluster_size_hist,
+        "registry_diff": q_registry_diff,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
@@ -1754,6 +1801,36 @@ LIMIT 20
     # reproduce the parquet contents bit-for-bit
     sqls["csv_roundtrip"] = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
     sqls["jsonl_roundtrip"] = "SELECT * FROM supplier"
+    sqls["cluster_size_hist"] = """
+WITH RECURSIVE
+edges AS (
+  SELECT concat('S', s_suppkey) AS src, concat('N', s_nationkey) AS dst FROM supplier
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+SELECT sz, count(*) AS n_clusters
+FROM (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+GROUP BY sz
+"""
+    sqls["registry_diff"] = f"""
+WITH spr AS ({_NORM_SPR}), cad AS ({_NORM_CAD}),
+s AS (SELECT SEARCH_KEY, count(*) AS n_spr FROM spr GROUP BY 1),
+c AS (SELECT SEARCH_KEY, count(*) AS n_cad FROM cad GROUP BY 1)
+SELECT CASE WHEN n_spr IS NOT NULL AND n_cad IS NOT NULL THEN 'both'
+            WHEN n_spr IS NOT NULL THEN 'spr_only'
+            ELSE 'cad_only' END AS presence,
+       count(*) AS n_keys,
+       sum(coalesce(n_spr, 0))::BIGINT AS spr_records,
+       sum(coalesce(n_cad, 0))::BIGINT AS cad_records
+FROM s FULL OUTER JOIN c USING (SEARCH_KEY)
+GROUP BY 1
+"""
     sqls["latest_events"] = """
 SELECT user_id, event_id, ts, event_type, value FROM (
   SELECT user_id, event_id, ts, event_type, value,
