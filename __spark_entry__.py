@@ -961,6 +961,68 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
 
 
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets aggregation — GROUP BY ROLLUP(status, priority):
+    per-(status, priority), per-status subtotals, and the grand total in
+    ONE pass (partial-aggregated; Spark expands grouping sets map-side,
+    never re-scans). NULL marks the rolled-up level in both engines."""
+    orders = _load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — events per (user cohort, event_type) reshaped wide. The
+    pivot values are EXPLICIT (the contract at scale: an unlisted-values
+    pivot needs a driver-side distinct pass first), so the plan is one
+    partial-aggregated shuffle, same as any groupBy."""
+    ev = _load(spark, sf_dir, "events")
+    cohort = (F.col("user_id") % 10).alias("cohort")
+    return (
+        ev.groupBy(cohort)
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "error"])
+    )
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window — inter-event gap stats per user (median/p95 seconds
+    between consecutive events). The window partitions by user_id — a
+    bounded hash-partitioned sort, never a single-task global window."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff is timezone-free on TIMESTAMP_NTZ (a double cast is
+    # disallowed on NTZ, and a tz-dependent epoch would diverge from the
+    # oracle's naive-UTC reading)
+    gaps = (
+        ev.select("user_id", "ts", F.lag("ts").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id",
+            F.expr("timestampdiff(MICROSECOND, prev, ts)").alias("gap"),
+        )
+    )
+    # stats over INTEGER microseconds, chosen to be FP-exact across
+    # engines: the median's interpolation midpoint is an exact half;
+    # avg is one IEEE division of identical integer operands; max is
+    # exact. (A p95 was tried and dropped: its 19/20 interpolation
+    # fraction lands mathematically ON the .05 rounding boundary, where
+    # the engines' accumulation orders split — seconds-as-double medians
+    # hit the same wall at the 7th decimal.)
+    return gaps.groupBy("user_id").agg(
+        F.round(F.percentile("gap", 0.5), 1).alias("p50_gap_us"),
+        F.round(F.avg("gap"), 1).alias("avg_gap_us"),
+        F.max("gap").alias("max_gap_us"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+
+
 def q_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC latest-row compaction — newest event per user, spelled as
     max_by over a (ts, event_id) total order: ONE shuffle with map-side
@@ -1116,6 +1178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_events": q_latest_events,
         "cluster_size_hist": q_cluster_size_hist,
         "registry_diff": q_registry_diff,
+        "orders_rollup": q_orders_rollup,
+        "event_type_pivot": q_event_type_pivot,
+        "event_gaps": q_event_gaps,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
@@ -1801,6 +1866,34 @@ LIMIT 20
     # reproduce the parquet contents bit-for-bit
     sqls["csv_roundtrip"] = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
     sqls["jsonl_roundtrip"] = "SELECT * FROM supplier"
+    sqls["orders_rollup"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+    sqls["event_type_pivot"] = """
+SELECT user_id % 10 AS cohort,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'view') AS view,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'error') AS error
+FROM events GROUP BY 1
+"""
+    sqls["event_gaps"] = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+)
+SELECT user_id,
+       round(quantile_cont(gap, 0.5), 1) AS p50_gap_us,
+       round(avg(gap), 1) AS avg_gap_us,
+       max(gap) AS max_gap_us,
+       count(*) AS n_gaps
+FROM g WHERE gap IS NOT NULL GROUP BY 1
+"""
     sqls["cluster_size_hist"] = """
 WITH RECURSIVE
 edges AS (

@@ -640,3 +640,29 @@ def test_contamination_max_eval_df_drops_boilerplate_grams(spark):
 
     with pytest.raises(ValueError, match="max_eval_df"):
         contamination_report(train, eval_df, max_eval_df=0)
+
+
+def test_pii_scrub_property_no_residual_matches(spark):
+    """Property: after the scrub chain, NO pattern matches remain —
+    regardless of how identifiers are embedded, abutted, or repeated.
+    Inputs are adversarial compositions (identifier fragments glued to
+    digits/@/dots) generated deterministically, evaluated in one Spark
+    pass through the same native expressions production uses."""
+    import itertools
+
+    from registry_address_matcher_spark.functions.text import pii_counts, scrub_pii_col
+
+    frags = [
+        "a@b.co", "http://x.io/p?q=1", "10.0.0.1", "+12345678901",
+        "999", ".", "@", " ", "word", "+", "https://", "1.2.3.4.5",
+    ]
+    rows = [
+        ("".join(c),) for c in itertools.permutations(frags, 3)
+    ][:800] + [(" ".join(c),) for c in itertools.combinations(frags, 4)][:400]
+    df = spark.createDataFrame(rows, "text string")
+    scrubbed = df.select(scrub_pii_col(F.col("text")).alias("text"))
+    residual = scrubbed.select(
+        *[c.alias(k) for k, c in pii_counts(F.col("text")).items()]
+    ).agg(*[F.sum(k).alias(k) for k in ("url", "email", "ipv4", "phone")])
+    got = residual.collect()[0].asDict()
+    assert got == {"url": 0, "email": 0, "ipv4": 0, "phone": 0}, got
