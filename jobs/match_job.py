@@ -149,6 +149,10 @@ def main(argv: list[str] | None = None) -> int:
     ok = verify_sha_invariant(repos, clusters)
     summary = {
         "run_dir": run_dir,
+        # the EFFECTIVE master — under spark-submit this is the submit
+        # conf's (get_spark defers to it), proof the job runs where the
+        # operator pointed it
+        "master": spark.sparkContext.master,
         "stages": stage_times,
         "counts": counts,
         "sha_invariant_ok": ok,

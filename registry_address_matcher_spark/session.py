@@ -23,12 +23,27 @@ def get_spark(
     shuffle partitions sized to the local core count rather than the 200
     default — on a real cluster this is set per-job via spark-submit.
     """
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    # Under spark-submit the driver JVM is already running and carries the
+    # job's conf (--master, --conf ...): PythonRunner exports
+    # PYSPARK_GATEWAY_PORT to the driver script, so that env var is the
+    # reliable marker. In that case an unspecified master DEFERS to the
+    # submit conf instead of overriding it — a library that force-sets
+    # .master() would silently turn `spark-submit --master yarn` into a
+    # local[*] run — and the local-host-sized defaults (shuffle-partition
+    # count, tmpfs local dir) are left to the submit conf as well.
+    under_submit = (
+        master is None
+        and "SPARK_GRAFT_MASTER" not in os.environ
+        and "PYSPARK_GATEWAY_PORT" in os.environ
+    )
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None and not under_submit:
+        master = "local[*]"
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus and master == "local[*]":
         master = f"local[{cpus}]"
-    cluster_shape = _local_cluster_shape(master)  # (executors, cores_per_exec, mem_mb)
-    if shuffle_partitions is None:
+    cluster_shape = _local_cluster_shape(master) if master else None
+    if shuffle_partitions is None and not under_submit:
         n = os.cpu_count() or 8
         if master.startswith("local["):
             inner = master[6:-1]
@@ -40,8 +55,6 @@ def get_spark(
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -83,7 +96,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    if not os.environ.get("SPARK_LOCAL_DIRS") and _shm_usable():
+    if master:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    if not under_submit and not os.environ.get("SPARK_LOCAL_DIRS") and _shm_usable():
         # shuffle/spill/checkpoint blocks on tmpfs: this sandbox's ext4
         # root sits on a virtio disk whose buffered-write path is slow
         # enough that concurrent shuffle writers burn whole cores in
@@ -135,7 +154,7 @@ def get_spark(
                 "spark.executor.memory", os.environ["SPARK_GRAFT_EXECUTOR_MEM"]
             )
     else:
-        n_local = _local_n(master)
+        n_local = _local_n(master) if master else None
         xopts = os.environ.get("SPARK_GRAFT_DRIVER_XOPTS", "")
         if n_local and not os.environ.get("RAM_SPARK_NO_CPU_CAP"):
             # same container semantics for plain local[N]: the single JVM
@@ -210,6 +229,41 @@ def _local_cluster_shape(master: str) -> tuple[int, int, int | None] | None:
         return None
 
 
+def build_pyfiles_zip(dest_dir: str | None = None) -> str:
+    """Zip this package for ``spark-submit --py-files``; return the path.
+
+    The ship artifact the north rule names: ``spark-submit --py-files
+    $(python -c 'from registry_address_matcher_spark.session import
+    build_pyfiles_zip; print(build_pyfiles_zip())') jobs/match_job.py …``.
+    Source-only (.py), deterministic layout, importable as a zip root.
+    Raises if the package itself was imported from a zip (nothing on disk
+    to re-zip — reuse the zip you shipped).
+    """
+    import tempfile
+    import zipfile
+
+    import registry_address_matcher_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    if not os.path.isdir(pkg_dir):
+        raise RuntimeError(
+            "registry_address_matcher_spark was imported from an archive "
+            f"({pkg_dir}); ship that archive instead of rebuilding"
+        )
+    dest_dir = dest_dir or tempfile.mkdtemp(prefix="ram_spark_")
+    zpath = os.path.join(dest_dir, "registry_address_matcher_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "registry_address_matcher_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    return zpath
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make this package importable on executors' Python workers.
 
@@ -217,26 +271,18 @@ def _ship_package(spark: SparkSession) -> None:
     ``registry_address_matcher_spark`` themselves. On a cluster the job
     ships it via ``spark-submit --py-files``; for programmatic use we zip
     the package once and ``addPyFile`` it — same mechanism, automatic.
+    No-op when the package was itself imported from a ``--py-files`` zip:
+    that zip is already on every executor's python path, and re-adding a
+    same-named file would collide with the submitted one.
     """
     import registry_address_matcher_spark as pkg
 
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    if not os.path.isdir(pkg_dir):
+        return
     marker = "__ram_spark_pkg_shipped"
     jconf = spark.sparkContext.getConf()
     if jconf.get(marker, None):
         return
-    import tempfile
-    import zipfile
-
-    zpath = os.path.join(tempfile.mkdtemp(prefix="ram_spark_"), "registry_address_matcher_spark.zip")
-    with zipfile.ZipFile(zpath, "w") as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    rel = os.path.join(
-                        "registry_address_matcher_spark", os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, rel)
-    spark.sparkContext.addPyFile(zpath)
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
     spark.sparkContext.getConf().set(marker, "1")
