@@ -1187,38 +1187,7 @@ truth labels ({f1['labels']} labeled pairs), run via `bench.py
 | {f1['files']} | {f1['precision']} | {f1['recall']} | {f1['f1']} | {f1['sha_invariant']} | {"PASS" if f1['f1'] >= 0.99 else "FAIL"} (>= 0.99) |
 """
             )
-    trend = os.path.join(REPO, "BENCH", "trend.jsonl")
-    if os.path.exists(trend):
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f, open(trend) as t:
-            f.write("\n## e2e trend (sf0.1, default-core runs)\n\n")
-            f.write(
-                "Round-4's recorded regression (median 12.8 -> 20.3 s on "
-                "unchanged counters) is resolved, not explained away: the "
-                "round-5 rows carry per-stage cpu_seconds (steal-immune), and "
-                "the round-5 fix set — one pairgen barrier, cache-blocked "
-                "MinHash kernel, 8g driver heap, tmpfs local dir, UDS "
-                "python channels, adaptive CC node-min — brings the median "
-                "to the 7-9 s band (see the round-5 rows below — compare "
-                "their medians) with clustering back under its round-3 level "
-                "(median 2.1 s vs 6.1 in round 4), so the r4 number was "
-                "part box noise, part since-removed costs.\n\n"
-            )
-            f.write(
-                "Rows with runs=1 predate the repeated-bench harness (rounds 1-2): "
-                "their single measurement is shown in the min column and has no "
-                "median — compare medians only against medians (runs>=3 rows).\n\n"
-            )
-            f.write(
-                "| when (unix) | cores | e2e sec (min) | pairs/sec | runs | median |\n"
-                "|---|---|---|---|---|---|\n"
-            )
-            for line in t:
-                r = json.loads(line)
-                f.write(
-                    f"| {r.get('ts')} | {r.get('cores')} | {r.get('value')} "
-                    f"| {r.get('pairs_scored_per_sec')} | "
-                    f"{r.get('runs', 1)} | {r.get('median', '-')} |\n"
-                )
+    append_trend_section()
     out = {
         "scaling_efficiency": round(eff, 3), "levels": results,
         "repos_scaling_efficiency": round(r_eff, 3), "repos_levels": repos_res,
@@ -1231,6 +1200,58 @@ truth labels ({f1['labels']} labeled pairs), run via `bench.py
         if len(exec_sets) > 1:
             out["exec_levels_all"] = exec_sets
     print(json.dumps(out))
+
+
+_TREND_HEADER = "## e2e trend (sf0.1, default-core runs)"
+
+
+def append_trend_section() -> None:
+    """(Re-)render the e2e-trend section of BENCH/BASELINE.md from
+    BENCH/trend.jsonl. Called at the end of --scaling, and standalone via
+    --render-trend so a plain `python bench.py` run's freshly appended
+    trend row reaches the committed markdown without re-running the
+    multi-hour scaling harness. If the section already exists it is
+    replaced in place (it is the file's final section by construction)."""
+    trend = os.path.join(REPO, "BENCH", "trend.jsonl")
+    baseline = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if not os.path.exists(trend):
+        return
+    if os.path.exists(baseline):
+        body = open(baseline).read()
+        cut = body.find(_TREND_HEADER)
+        if cut != -1:
+            with open(baseline, "w") as f:
+                f.write(body[:cut].rstrip("\n") + "\n")
+    with open(baseline, "a") as f, open(trend) as t:
+        f.write(f"\n{_TREND_HEADER}\n\n")
+        f.write(
+            "Round-4's recorded regression (median 12.8 -> 20.3 s on "
+            "unchanged counters) is resolved, not explained away: the "
+            "round-5 rows carry per-stage cpu_seconds (steal-immune), and "
+            "the round-5 fix set — one pairgen barrier, cache-blocked "
+            "MinHash kernel, 8g driver heap, tmpfs local dir, UDS "
+            "python channels, adaptive CC node-min — brings the median "
+            "to the 7-9 s band (see the round-5 rows below — compare "
+            "their medians) with clustering back under its round-3 level "
+            "(median 2.1 s vs 6.1 in round 4), so the r4 number was "
+            "part box noise, part since-removed costs.\n\n"
+        )
+        f.write(
+            "Rows with runs=1 predate the repeated-bench harness (rounds 1-2): "
+            "their single measurement is shown in the min column and has no "
+            "median — compare medians only against medians (runs>=3 rows).\n\n"
+        )
+        f.write(
+            "| when (unix) | cores | e2e sec (min) | pairs/sec | runs | median |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for line in t:
+            r = json.loads(line)
+            f.write(
+                f"| {r.get('ts')} | {r.get('cores')} | {r.get('value')} "
+                f"| {r.get('pairs_scored_per_sec')} | "
+                f"{r.get('runs', 1)} | {r.get('median', '-')} |\n"
+            )
 
 
 def _median(xs: list[float]) -> float:
@@ -1276,6 +1297,8 @@ def main() -> None:
     ap.add_argument("--executors", type=int, default=None,
                     help="run on local-cluster[N,1,mem] (real executor JVMs) instead of local[cores]")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--render-trend", action="store_true",
+                    help="re-render BENCH/BASELINE.md's e2e-trend section from trend.jsonl")
     ap.add_argument("--scaling-worker", action="store_true")
     ap.add_argument("--repos-scaling-worker", action="store_true")
     ap.add_argument("--repos-stage-profile", action="store_true")
@@ -1324,6 +1347,9 @@ def main() -> None:
                     help="comma list of base-file counts for fresh exec-mode "
                          "measurement (default: the headline repos size only)")
     args = ap.parse_args()
+    if args.render_trend:
+        append_trend_section()
+        return
     if args.scaling:
         levels = tuple(int(x) for x in args.levels.split(","))
         exec_levels = (
