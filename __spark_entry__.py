@@ -1023,6 +1023,54 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed near-dup curation pass — the full training-data dedup
+    pipeline as ONE plan: MinHash signatures -> banded LSH pair
+    generation -> Jaccard verify -> connected components -> one canonical
+    survivor per duplicate cluster -> per-doc verdict ledger. This is the
+    operation a 100 TB corpus runs before tokenization; every stage is
+    the scale-shaped operator it reuses (banded shuffle, skew-capped
+    buckets, star-round CC), composed with no collect and no new shuffle
+    beyond the stages' own. md5 hash mode so the DuckDB oracle reproduces
+    the chain end-to-end (signatures AND clustering), hash-for-hash."""
+    from registry_address_matcher_spark.operators.cluster import connected_components
+    from registry_address_matcher_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", shingle_n=5, num_perm=64, hash_mode="md5"
+    )
+    pairs = minhash_lsh_pairs(sigs, bands=16, threshold=0.5, hash_buckets=False)
+    # CC is string-keyed (component = lexicographic min node id); the
+    # oracle casts identically, so rep choice agrees across engines
+    edges = pairs.select(
+        F.col("id_l").cast("string").alias("src"),
+        F.col("id_r").cast("string").alias("dst"),
+    )
+    comp = connected_components(edges)
+    rep = comp.groupBy("component").agg(F.min("node").alias("rep_id"))
+    member = comp.join(rep, "component").select(
+        F.col("node").alias("doc_key"), "rep_id"
+    )
+    return (
+        docs.select(F.col("doc_id").cast("string").alias("doc_key"))
+        .join(member, "doc_key", "left")
+        .select(
+            F.col("doc_key").alias("doc_id"),
+            F.coalesce("rep_id", F.col("doc_key")).alias("rep_id"),
+            F.when(
+                F.col("rep_id").isNotNull() & (F.col("rep_id") != F.col("doc_key")),
+                F.lit("near_duplicate"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
+
+
 def q_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC latest-row compaction — newest event per user, spelled as
     max_by over a (ts, event_id) total order: ONE shuffle with map-side
@@ -1175,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": q_lang_id_counts,
         "tfidf_topk": q_tfidf_topk,
         "group_quantiles": q_group_quantiles,
+        "neardup_curation": q_neardup_curation,
         "latest_events": q_latest_events,
         "cluster_size_hist": q_cluster_size_hist,
         "registry_diff": q_registry_diff,
@@ -2250,6 +2299,26 @@ FROM ({_fuzzy_jw_oracle(top_k=1)}) GROUP BY 1, 2
     sqls["v3_multiblock"] = _V3_MULTIBLOCK_ORACLE
     sqls["v3_match"] = _V3_MATCH_ORACLE
     sqls["minhash_dedup"] = _minhash_dedup_oracle()
+    sqls["neardup_curation"] = f"""
+WITH RECURSIVE
+pairs AS ({_minhash_dedup_oracle()}),
+edges AS (SELECT id_l::VARCHAR AS src, id_r::VARCHAR AS dst FROM pairs),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+rep AS (SELECT component, min(node) AS rep_id FROM comp GROUP BY component),
+member AS (SELECT c.node, r.rep_id FROM comp c JOIN rep r ON r.component = c.component)
+SELECT d.doc_id::VARCHAR AS doc_id,
+       coalesce(m.rep_id, d.doc_id::VARCHAR) AS rep_id,
+       CASE WHEN m.rep_id IS NOT NULL AND m.rep_id <> d.doc_id::VARCHAR
+            THEN 'near_duplicate' ELSE 'keep' END AS verdict
+FROM documents d LEFT JOIN member m ON m.node = d.doc_id::VARCHAR
+"""
     sqls["simhash_neardup"] = _simhash_oracle()
     sqls["ann_topk_lsh"] = _ann_lsh_oracle()
     sqls["ann_topk_ivf"] = _ann_ivf_oracle()
