@@ -230,3 +230,20 @@ def test_text_hygiene_ops_native_and_broadcast(spark):
     # spelling would show Window + Sort over the full table instead
     assert "Window" not in plan
     assert "partial_max_by" in plan or "partial_max" in plan
+
+
+def test_neardup_curation_membership_plan_no_quadratic_paths(spark):
+    """The composed near-dup curation query (MinHash -> LSH pairs -> CC ->
+    survivor ledger): the membership/ledger plan around the CC loop must
+    stay hash-join-shaped — no cartesian products, no nested-loop joins,
+    and no single-partition global window anywhere in the composition."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["neardup_curation"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
