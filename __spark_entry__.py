@@ -1033,41 +1033,16 @@ def q_neardup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, star-round CC), composed with no collect and no new shuffle
     beyond the stages' own. md5 hash mode so the DuckDB oracle reproduces
     the chain end-to-end (signatures AND clustering), hash-for-hash."""
-    from registry_address_matcher_spark.operators.cluster import connected_components
-    from registry_address_matcher_spark.operators.dedup import (
-        minhash_lsh_pairs,
-        minhash_signatures,
-    )
+    from registry_address_matcher_spark.plans.curate import neardup_ledger
 
     docs = _load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(
-        docs, "doc_id", "text", shingle_n=5, num_perm=64, hash_mode="md5"
-    )
-    pairs = minhash_lsh_pairs(sigs, bands=16, threshold=0.5, hash_buckets=False)
-    # CC is string-keyed (component = lexicographic min node id); the
+    # md5 mode: cross-engine hashes AND raw (uncompressed) bucket keys,
+    # so the oracle reproduces the chain hash-for-hash; CC is
+    # string-keyed (component = lexicographic min node id) and the
     # oracle casts identically, so rep choice agrees across engines
-    edges = pairs.select(
-        F.col("id_l").cast("string").alias("src"),
-        F.col("id_r").cast("string").alias("dst"),
-    )
-    comp = connected_components(edges)
-    rep = comp.groupBy("component").agg(F.min("node").alias("rep_id"))
-    member = comp.join(rep, "component").select(
-        F.col("node").alias("doc_key"), "rep_id"
-    )
-    return (
-        docs.select(F.col("doc_id").cast("string").alias("doc_key"))
-        .join(member, "doc_key", "left")
-        .select(
-            F.col("doc_key").alias("doc_id"),
-            F.coalesce("rep_id", F.col("doc_key")).alias("rep_id"),
-            F.when(
-                F.col("rep_id").isNotNull() & (F.col("rep_id") != F.col("doc_key")),
-                F.lit("near_duplicate"),
-            )
-            .otherwise(F.lit("keep"))
-            .alias("verdict"),
-        )
+    return neardup_ledger(
+        docs, "doc_id", "text",
+        shingle_n=5, num_perm=64, bands=16, threshold=0.5, hash_mode="md5",
     )
 
 

@@ -68,3 +68,73 @@ def curate_documents(
             .alias("verdict"),
         )
     )
+
+
+def neardup_ledger(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash",
+) -> DataFrame:
+    """Composed NEAR-dup curation: the full pre-tokenization dedup
+    pipeline as one plan — MinHash signatures -> banded LSH pair
+    generation -> Jaccard verify -> connected components -> one canonical
+    survivor per duplicate cluster -> per-doc verdict ledger.
+
+    Returns one row per input doc: ``(id, rep_id, verdict)`` with
+    verdict ∈ {keep, near_duplicate}; downstream keeps ``verdict =
+    'keep'`` and the rest is the drop ledger. Complements
+    :func:`curate_documents` (exact/sha256 dedup) — run both for a full
+    curation pass; this one catches boilerplate-shifted and
+    lightly-edited copies exact hashing misses.
+
+    Scale shape: every stage is the scale-shaped operator it reuses —
+    the banded signature shuffle and capped LSH buckets from
+    :mod:`..operators.dedup`, the star-round connected components from
+    :mod:`..operators.cluster` — composed with no collect and no new
+    shuffle beyond the stages' own. ``hash_mode='md5'`` makes the chain
+    engine-portable (the DuckDB oracle in ``__spark_entry__`` reproduces
+    it hash-for-hash); the default xxhash mode is the fast production
+    path. CC is string-keyed (component = lexicographic min node id), so
+    ids are cast once on the way in and the ledger's id column comes
+    back as string — stable across engines and id dtypes.
+    """
+    from ..operators.cluster import connected_components
+    from ..operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    sigs = minhash_signatures(
+        docs, id_col, text_col,
+        shingle_n=shingle_n, num_perm=num_perm, hash_mode=hash_mode,
+    )
+    pairs = minhash_lsh_pairs(
+        sigs, bands=bands, threshold=threshold,
+        hash_buckets=hash_mode != "md5",
+    )
+    edges = pairs.select(
+        F.col("id_l").cast("string").alias("src"),
+        F.col("id_r").cast("string").alias("dst"),
+    )
+    comp = connected_components(edges)
+    rep = comp.groupBy("component").agg(F.min("node").alias("rep_id"))
+    member = comp.join(rep, "component").select(
+        F.col("node").alias("__doc_key"), "rep_id"
+    )
+    return (
+        docs.select(F.col(id_col).cast("string").alias("__doc_key"))
+        .join(member, "__doc_key", "left")
+        .select(
+            F.col("__doc_key").alias(id_col),
+            F.coalesce("rep_id", F.col("__doc_key")).alias("rep_id"),
+            F.when(
+                F.col("rep_id").isNotNull()
+                & (F.col("rep_id") != F.col("__doc_key")),
+                F.lit("near_duplicate"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
