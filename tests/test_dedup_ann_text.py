@@ -666,3 +666,30 @@ def test_pii_scrub_property_no_residual_matches(spark):
     ).agg(*[F.sum(k).alias(k) for k in ("url", "email", "ipv4", "phone")])
     got = residual.collect()[0].asDict()
     assert got == {"url": 0, "email": 0, "ipv4": 0, "phone": 0}, got
+
+
+def test_neardup_ledger_production_config(spark):
+    """neardup_ledger with the PRODUCTION config (xxhash signatures,
+    int64-compressed buckets): the planted near-dup family collapses to
+    ONE survivor, distinct docs all keep, the ledger is id-complete, and
+    the survivor is the deterministic lexicographic-min id."""
+    from registry_address_matcher_spark.plans.curate import neardup_ledger
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    rows = [{"id": f"a{i:02d}", "text": base + f" tail{i}"} for i in range(12)]
+    for i in range(12):
+        rng = np.random.RandomState(1000 + i)
+        junk = " ".join("tok%05d" % rng.randint(0, 10**5) for _ in range(40))
+        rows.append({"id": f"b{i:02d}", "text": junk})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    ledger = neardup_ledger(df, "id", "text", threshold=0.7).toPandas()
+    assert len(ledger) == 24 and set(ledger.id) == {r["id"] for r in rows}
+    a = ledger[ledger.id.str.startswith("a")]
+    b = ledger[ledger.id.str.startswith("b")]
+    # one family, min-id survivor, everyone else a near_duplicate of it
+    assert set(a.rep_id) == {"a00"}
+    assert set(a[a.id != "a00"].verdict) == {"near_duplicate"}
+    assert a[a.id == "a00"].verdict.iloc[0] == "keep"
+    # distinct docs: self-rep, all keep
+    assert (b.verdict == "keep").all() and (b.rep_id == b.id).all()
