@@ -313,19 +313,33 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN baseline — brute-force cosine top-10 per probe vector
-    (F.aggregate/zip_with dot products, JVM-side)."""
+    (F.aggregate/zip_with dot products, JVM-side).
+
+    Plan shape (optimization guide §2.4/§3.1): the PROBE side (|corpus|/200
+    rows) is broadcast and the corpus streams — at scale the corpus can
+    never be the broadcast side. The corpus arrives as ONE parquet
+    row-group (unsplittable single task), so it is round-robin
+    repartitioned to the cluster's defaultParallelism before the
+    per-pair work; per-row norms are projected BEFORE the join so each
+    ||v|| fold runs once per row, not once per pair (the per-pair values
+    are the identical doubles — same fold expression, same input)."""
     emb = _load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    probes = emb.filter(F.col("vec_id") % 200 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    norm = lambda c: F.sqrt(F.aggregate(F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism).withColumn(
+        "nv", norm("v")
     )
-    pairs = probes.crossJoin(emb).filter(F.col("vec_id") != F.col("q_id"))
+    probes = corpus.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+    pairs = corpus.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
     dot = F.aggregate(
         F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
-    norm = lambda c: F.sqrt(F.aggregate(F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
-    pairs = pairs.withColumn("cos", F.round(dot / (norm("qv") * norm("v")), 6))
+    pairs = pairs.withColumn("cos", F.round(dot / (F.col("nq") * F.col("nv")), 6))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         pairs.withColumn("rn", F.row_number().over(w))
