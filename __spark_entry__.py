@@ -69,12 +69,17 @@ FROM part
 
 def _cad(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(_CAD_SQL)
+    # the testdata parquet is ONE row group (unsplittable single scan
+    # task); the round-robin spread means every downstream consumer —
+    # including the bench's persisted preprocess cache and each join's
+    # map side — works at cluster width instead of serializing through
+    # one partition (guide §2.5 input skew: repartition after the read)
+    return spark.sql(_CAD_SQL).repartition(spark.sparkContext.defaultParallelism)
 
 
 def _spr(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(_SPR_SQL)
+    return spark.sql(_SPR_SQL).repartition(spark.sparkContext.defaultParallelism)
 
 
 def _norm_registry_sql(base_sql: str) -> str:

@@ -145,7 +145,16 @@ def connected_components(
     spark = edges.sparkSession
     n0 = cur.count()
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    cc_parts = max(2, min(session_parts, n0 // 500_000 + 1))
+    # ~500k edges/partition bounds partition SIZE at scale; the
+    # defaultParallelism floor bounds IDLE WIDTH at small scale — without
+    # it a 650k-edge graph ran every star-round shuffle at 2 partitions
+    # on a 32-core box (30 cores idle, measured 3.5 s/round at sf1.0).
+    # Both terms are cluster-derived, not constants; session_parts caps
+    # the result exactly as before.
+    cc_parts = max(
+        2,
+        min(session_parts, max(spark.sparkContext.defaultParallelism, n0 // 500_000 + 1)),
+    )
     # small graph -> window-based node-min (see _node_min): the n0 bound
     # holds for every iterate too — star rounds never grow the canonical
     # edge count above the node count of the original graph <= 2*n0
@@ -155,7 +164,12 @@ def connected_components(
     # src is the component minimum (the root)
     members = cur.select(F.col("dst").alias("node"), F.col("src").alias("component"))
     roots = cur.select(F.col("src").alias("node"), F.col("src").alias("component")).distinct()
-    return members.union(roots).distinct()
+    # no outer distinct: `cur` is small_star output (dropDuplicates-ed,
+    # src < dst), so members are unique with node != component, roots are
+    # distinct-ed with node == component — the two sides are disjoint and
+    # each unique, and the old trailing .distinct() was one full shuffle
+    # of the result for nothing
+    return members.union(roots)
 
 
 def _cc_loop(

@@ -174,6 +174,19 @@ def score_candidates(
     block join is planned exactly once per caller."""
     pairs = candidate_pairs(spr, cad, scale, columns=_SLIM_COLS)
 
+    # explicit repartition before the Arrow kernel: AQE sizes partitions by
+    # COMPRESSED shuffle bytes, and candidate pairs compress extremely well
+    # (repeated block strings) — left alone, the CPU-bound Python stage
+    # collapses onto 1-2 partitions and runs serially. A user-specified
+    # partition count is exempt from AQE coalescing. Placed BEFORE the
+    # CANDIDATES_COUNT window: hash partitioning on ADDRESS_ID_SPR at any
+    # partition count satisfies the window's clustering requirement, so
+    # the window costs one local sort instead of its own full exchange of
+    # the candidate-pair set (guide §2.4: keyed operations share one
+    # exchange).
+    n_part = _scoring_partitions(spr, cad, scale)
+    pairs = pairs.repartition(n_part, "ADDRESS_ID_SPR")
+
     # CANDIDATES_COUNT counts ALL house+building candidates per SPR row,
     # including empty-street ones (advanced_matcher.py:406 uses
     # len(exact_candidates) from :350-355, before the street filter).
@@ -184,13 +197,6 @@ def score_candidates(
     to_score = pairs.filter(
         (F.col("STREET_NORM_SPR") != "") & (F.col("STREET_NORM_CAD") != "")
     )
-    # explicit repartition before the Arrow kernel: AQE sizes partitions by
-    # COMPRESSED shuffle bytes, and candidate pairs compress extremely well
-    # (repeated block strings) — left alone, the CPU-bound Python stage
-    # collapses onto 1-2 partitions and runs serially. A user-specified
-    # partition count is exempt from AQE coalescing.
-    n_part = _scoring_partitions(spr, cad, scale)
-    to_score = to_score.repartition(n_part, "ADDRESS_ID_SPR")
     if scorer == "jw":
         from ..functions.similarity import jaro_winkler_udf
 

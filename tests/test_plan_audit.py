@@ -34,6 +34,12 @@ def test_normalize_is_fully_native(spark):
     plan = _plan(out)
     # no Python evaluation nodes anywhere in the normalization chain
     assert "EvalPython" not in plan and "BatchEval" not in plan
+    # _cad's width-spreading repartition makes the plan AQE-eligible, and
+    # the ADAPTIVE plan prints codegen markers only once finalized — force
+    # execution of THIS queryExecution (a write would plan a fresh one),
+    # then assert on the final plan
+    out.collect()
+    plan = _plan(out)
     assert "*(" in plan  # whole-stage codegen stage marker
 
 
