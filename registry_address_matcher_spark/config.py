@@ -83,6 +83,17 @@ class ScaleConfig:
     # time (the aggregates are over block-key counts, not the data).
     # False -> fall back to 4 x defaultParallelism partitions.
     adaptive_scoring_partitions: bool = True
+    # Distinct-pair scoring memoization: the pair kernel is a pure
+    # function of the two street strings, and real street vocabularies
+    # are far smaller than row counts — when the product of per-side
+    # distinct street counts (an upper bound on distinct scored pairs)
+    # is at or below this bound, the kernel runs once per DISTINCT
+    # co-blocked street pair and the scores broadcast-join back onto the
+    # pair set (the heavy rows never cross the Python boundary). Above
+    # the bound — or on estimate failure — the kernel runs directly over
+    # the pairs exactly as before. 500k pairs x ~100 B is a ~50 MB
+    # broadcast, safe on any executor. None/0 disables.
+    scoring_dedup_max_pairs: int | None = 500_000
 
     def __post_init__(self) -> None:
         # fail fast with a named knob: a zero/negative value otherwise

@@ -32,6 +32,8 @@ Scores are 0..100 floats; two empty strings score 100 for ``ratio``-family
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -249,17 +251,30 @@ FUZZY_STRUCT_SCHEMA = T.StructType(
 )
 
 
-@pandas_udf(FUZZY_STRUCT_SCHEMA)
-def fuzzy_scores(left: pd.Series, right: pd.Series) -> pd.DataFrame:
-    """All four scorers in one Arrow batch pass.
+#: per-task memo bound — caches reset when a task has seen this many
+#: distinct pairs, so an adversarial all-unique input is bounded at
+#: ~hundreds of MB of worker memory instead of growing with partition size
+_PAIR_CACHE_MAX = 2_000_000
 
-    One JVM<->Python crossing per candidate pair; bit-mask and token-sort
-    caches are shared across the batch (build-side strings repeat across
-    probe rows inside a block).
+
+@pandas_udf(FUZZY_STRUCT_SCHEMA)
+def fuzzy_scores(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+    """All four scorers in one Arrow pass, iterator form (guide §4.5).
+
+    One JVM<->Python crossing per candidate pair. The bit-mask,
+    token-sort and per-pair score memos are TASK-scoped (constructed once
+    before the batch loop), not batch-scoped: block joins repeat the same
+    street pair across many probe rows and across Arrow batches — on
+    part-derived registries a 320k-pair partition carries only a few
+    thousand distinct pairs, so a per-batch cache recomputed every 10k
+    rows paid the full kernel ~70x more often than needed. The memo is a
+    per-task compute cache inside one query execution; nothing outlives
+    the task.
     """
     mask_cache: dict[str, dict[str, int]] = {}
     sort_cache: dict[str, str] = {}
     setcache: dict[str, set[str]] = {}
+    pair_cache: dict[tuple[str, str], tuple[float, float, float, float]] = {}
 
     def tsort(s: str) -> str:
         v = sort_cache.get(s)
@@ -275,77 +290,87 @@ def fuzzy_scores(left: pd.Series, right: pd.Series) -> pd.DataFrame:
             setcache[s] = v
         return v
 
-    n = len(left)
-    out_sort = [0.0] * n
-    out_set = [0.0] * n
-    out_partial = [0.0] * n
-    out_ratio = [0.0] * n
-    lv = left.fillna("").tolist()
-    rv = right.fillna("").tolist()
-    pair_cache: dict[tuple[str, str], tuple[float, float, float, float]] = {}
     perfect = (100.0, 100.0, 100.0, 100.0)
-    for i in range(n):
-        a, b = lv[i], rv[i]
-        if a == b:
-            # exact-equal fast path: all four scorers are 100 by definition
-            out_sort[i], out_set[i], out_partial[i], out_ratio[i] = perfect
-            continue
-        key = (a, b)
-        hit = pair_cache.get(key)
-        if hit is None and " " not in a and " " not in b:
-            # single-token pair: token_sort == token_set == ratio by
-            # definition (sorting one token is identity; the set
-            # intersection is empty for a != b, so both token scores
-            # reduce to indel(a, b)) — 2 of 4 LCS computations skipped
-            r_ratio = indel_ratio(a, b, mask_cache)
-            hit = (r_ratio, r_ratio, partial_ratio(a, b, mask_cache), r_ratio)
-            pair_cache[key] = hit
-        if hit is None:
-            r_sort = indel_ratio(tsort(a), tsort(b), mask_cache)
-            ta, tb = tset(a), tset(b)
-            if not ta and not tb:
-                r_set = 100.0
-            else:
-                inter = " ".join(sorted(ta & tb))
-                s1 = (inter + " " + " ".join(sorted(ta - tb))).strip()
-                s2 = (inter + " " + " ".join(sorted(tb - ta))).strip()
-                r_set = indel_ratio(s1, s2, mask_cache)
-                if inter:
-                    r_set = max(
-                        r_set,
-                        indel_ratio(inter, s1, mask_cache),
-                        indel_ratio(inter, s2, mask_cache),
-                    )
-            r_partial = partial_ratio(a, b, mask_cache)
-            r_ratio = indel_ratio(a, b, mask_cache)
-            hit = (r_sort, r_set, r_partial, r_ratio)
-            pair_cache[key] = hit
-        out_sort[i], out_set[i], out_partial[i], out_ratio[i] = hit
-    return pd.DataFrame(
-        {
-            "token_sort_ratio": out_sort,
-            "token_set_ratio": out_set,
-            "partial_ratio": out_partial,
-            "ratio": out_ratio,
-        }
-    )
+    for left, right in batches:
+        if len(pair_cache) > _PAIR_CACHE_MAX:
+            pair_cache.clear()
+            mask_cache.clear()
+            sort_cache.clear()
+            setcache.clear()
+        n = len(left)
+        out_sort = [0.0] * n
+        out_set = [0.0] * n
+        out_partial = [0.0] * n
+        out_ratio = [0.0] * n
+        lv = left.fillna("").tolist()
+        rv = right.fillna("").tolist()
+        for i in range(n):
+            a, b = lv[i], rv[i]
+            if a == b:
+                # exact-equal fast path: all four scorers are 100 by definition
+                out_sort[i], out_set[i], out_partial[i], out_ratio[i] = perfect
+                continue
+            key = (a, b)
+            hit = pair_cache.get(key)
+            if hit is None and " " not in a and " " not in b:
+                # single-token pair: token_sort == token_set == ratio by
+                # definition (sorting one token is identity; the set
+                # intersection is empty for a != b, so both token scores
+                # reduce to indel(a, b)) — 2 of 4 LCS computations skipped
+                r_ratio = indel_ratio(a, b, mask_cache)
+                hit = (r_ratio, r_ratio, partial_ratio(a, b, mask_cache), r_ratio)
+                pair_cache[key] = hit
+            if hit is None:
+                r_sort = indel_ratio(tsort(a), tsort(b), mask_cache)
+                ta, tb = tset(a), tset(b)
+                if not ta and not tb:
+                    r_set = 100.0
+                else:
+                    inter = " ".join(sorted(ta & tb))
+                    s1 = (inter + " " + " ".join(sorted(ta - tb))).strip()
+                    s2 = (inter + " " + " ".join(sorted(tb - ta))).strip()
+                    r_set = indel_ratio(s1, s2, mask_cache)
+                    if inter:
+                        r_set = max(
+                            r_set,
+                            indel_ratio(inter, s1, mask_cache),
+                            indel_ratio(inter, s2, mask_cache),
+                        )
+                r_partial = partial_ratio(a, b, mask_cache)
+                r_ratio = indel_ratio(a, b, mask_cache)
+                hit = (r_sort, r_set, r_partial, r_ratio)
+                pair_cache[key] = hit
+            out_sort[i], out_set[i], out_partial[i], out_ratio[i] = hit
+        yield pd.DataFrame(
+            {
+                "token_sort_ratio": out_sort,
+                "token_set_ratio": out_set,
+                "partial_ratio": out_partial,
+                "ratio": out_ratio,
+            }
+        )
 
 
 @pandas_udf(T.DoubleType())
-def jaro_winkler_udf(left: pd.Series, right: pd.Series) -> pd.Series:
-    """Batched Jaro-Winkler similarity in [0,1] (north-rule scorer)."""
-    lv = left.fillna("").tolist()
-    rv = right.fillna("").tolist()
+def jaro_winkler_udf(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    """Batched Jaro-Winkler similarity in [0,1] (north-rule scorer).
+    Iterator form: the pair memo spans every Arrow batch of the task
+    (see fuzzy_scores), bounded by _PAIR_CACHE_MAX."""
     cache: dict[tuple[str, str], float] = {}
-    out = [0.0] * len(lv)
-    for i, (a, b) in enumerate(zip(lv, rv)):
-        key = (a, b)
-        v = cache.get(key)
-        if v is None:
-            v = jaro_winkler_similarity(a, b)
-            cache[key] = v
-        out[i] = v
-    return pd.Series(out)
+    for left, right in batches:
+        if len(cache) > _PAIR_CACHE_MAX:
+            cache.clear()
+        lv = left.fillna("").tolist()
+        rv = right.fillna("").tolist()
+        out = [0.0] * len(lv)
+        for i, (a, b) in enumerate(zip(lv, rv)):
+            key = (a, b)
+            v = cache.get(key)
+            if v is None:
+                v = jaro_winkler_similarity(a, b)
+                cache[key] = v
+            out[i] = v
+        yield pd.Series(out)
 
 
 def best_of_strategies(struct_col_name: str = "scores"):

@@ -148,6 +148,67 @@ def _scoring_partitions(spr: DataFrame, cad: DataFrame, scale: ScaleConfig | Non
     return max(cores * 4, 8)
 
 
+def _scoring_dedup_ok(spr: DataFrame, cad: DataFrame, scale: ScaleConfig) -> bool:
+    """True when distinct-pair scoring memoization is safe: the product
+    of per-side distinct street counts (an upper bound on distinct
+    scored pairs, cheaper to compute than the true pair-distinct) fits
+    ``scale.scoring_dedup_max_pairs``. Failure of the estimate falls
+    back to direct scoring — an optimization guard, never a failure
+    mode (recorded, like the partition estimate)."""
+    bound = scale.scoring_dedup_max_pairs
+    if not bound:
+        return False
+    try:
+        n_a = (
+            spr.filter(F.col("STREET_NORM") != "")
+            .agg(F.countDistinct("STREET_NORM").alias("n")).collect()[0]["n"]
+        )
+        n_b = (
+            cad.filter(F.col("STREET_NORM") != "")
+            .agg(F.countDistinct("STREET_NORM").alias("n")).collect()[0]["n"]
+        )
+        return int(n_a) * int(n_b) <= bound
+    except Exception as exc:
+        from ..plans.events import record_event
+
+        record_event(
+            "scoring", "dedup_estimate_failed",
+            f"{type(exc).__name__}; scoring pairs directly",
+        )
+        return False
+
+
+def _coblocked_street_pairs(spr: DataFrame, cad: DataFrame) -> DataFrame:
+    """Distinct (street_spr, street_cad) pairs that share at least one
+    block key — a covering superset of the street pairs the scoring
+    stage will see, built from per-side DISTINCT projections (map-side
+    partial aggregation shrinks each side before its shuffle; the join
+    is over vocabulary-sized tables, never the pair set)."""
+    keys = ["HOUSE_NORM", "BUILDING_NORM"]
+    pa = (
+        spr.filter((F.col("HOUSE_NORM") != "") & (F.col("STREET_NORM") != ""))
+        .select(*keys, F.col("STREET_NORM").alias("__street_spr")).distinct()
+    )
+    pb = (
+        cad.filter((F.col("HOUSE_NORM") != "") & (F.col("STREET_NORM") != ""))
+        .select(*keys, F.col("STREET_NORM").alias("__street_cad")).distinct()
+    )
+    return pa.join(pb, keys).select("__street_spr", "__street_cad").distinct()
+
+
+def _attach_pair_scores(to_score: DataFrame, uniq_scored: DataFrame) -> DataFrame:
+    """Broadcast the per-distinct-pair score table back onto the pair
+    set. Inner equi-join on the two street columns: every scoring row's
+    street pair is present in the co-blocked distinct table by
+    construction, and the table is distinct, so the join neither drops
+    nor duplicates rows."""
+    return to_score.join(
+        F.broadcast(uniq_scored),
+        (F.col("STREET_NORM_SPR") == F.col("__street_spr"))
+        & (F.col("STREET_NORM_CAD") == F.col("__street_cad")),
+    ).drop("__street_spr", "__street_cad")
+
+
 def score_candidates(
     spr: DataFrame,
     cad: DataFrame,
@@ -172,20 +233,30 @@ def score_candidates(
 
     Shared by fuzzy_matches / fuzzy_topk / the bench scaling job so the
     block join is planned exactly once per caller."""
+    scale = scale or ScaleConfig()
     pairs = candidate_pairs(spr, cad, scale, columns=_SLIM_COLS)
 
-    # explicit repartition before the Arrow kernel: AQE sizes partitions by
-    # COMPRESSED shuffle bytes, and candidate pairs compress extremely well
-    # (repeated block strings) — left alone, the CPU-bound Python stage
-    # collapses onto 1-2 partitions and runs serially. A user-specified
-    # partition count is exempt from AQE coalescing. Placed BEFORE the
-    # CANDIDATES_COUNT window: hash partitioning on ADDRESS_ID_SPR at any
-    # partition count satisfies the window's clustering requirement, so
-    # the window costs one local sort instead of its own full exchange of
-    # the candidate-pair set (guide §2.4: keyed operations share one
-    # exchange).
-    n_part = _scoring_partitions(spr, cad, scale)
-    pairs = pairs.repartition(n_part, "ADDRESS_ID_SPR")
+    # score distinct pairs once when the vocabulary is small (guide §8:
+    # decide on the lightweight proxy, attach back to the heavy rows) —
+    # the pair set then never crosses the JVM<->Python boundary
+    use_dedup = _scoring_dedup_ok(spr, cad, scale)
+    if not use_dedup:
+        # explicit repartition before the Arrow kernel: AQE sizes partitions
+        # by COMPRESSED shuffle bytes, and candidate pairs compress extremely
+        # well (repeated block strings) — left alone, the CPU-bound Python
+        # stage collapses onto 1-2 partitions and runs serially. A
+        # user-specified partition count is exempt from AQE coalescing.
+        # Placed BEFORE the CANDIDATES_COUNT window: hash partitioning on
+        # ADDRESS_ID_SPR at any partition count satisfies the window's
+        # clustering requirement, so the window costs one local sort instead
+        # of its own full exchange of the candidate-pair set (guide §2.4).
+        # In dedup mode there is no kernel over the pairs to spread, so the
+        # explicit exchange is skipped — a caller that needs the window
+        # gets one implicit session-width exchange, and a pure aggregate
+        # over the scores (the bench's throughput stage) runs with NO
+        # exchange of the pair set at all.
+        n_part = _scoring_partitions(spr, cad, scale)
+        pairs = pairs.repartition(n_part, "ADDRESS_ID_SPR")
 
     # CANDIDATES_COUNT counts ALL house+building candidates per SPR row,
     # including empty-street ones (advanced_matcher.py:406 uses
@@ -200,19 +271,33 @@ def score_candidates(
     if scorer == "jw":
         from ..functions.similarity import jaro_winkler_udf
 
-        return (
-            to_score.withColumn(
-                "best_score",
-                F.round(100.0 * jaro_winkler_udf(F.col("STREET_NORM_SPR"), F.col("STREET_NORM_CAD")), 4),
+        def jw_col(a, b):
+            return F.round(100.0 * jaro_winkler_udf(a, b), 4)
+
+        if use_dedup:
+            uniq = _coblocked_street_pairs(spr, cad).withColumn(
+                "best_score", jw_col(F.col("__street_spr"), F.col("__street_cad"))
             )
-            .withColumn("best_strategy", F.lit("jw"))
+            scored = _attach_pair_scores(to_score, uniq)
+        else:
+            scored = to_score.withColumn(
+                "best_score", jw_col(F.col("STREET_NORM_SPR"), F.col("STREET_NORM_CAD"))
+            )
+        return (
+            scored.withColumn("best_strategy", F.lit("jw"))
             .withColumn("strategy_rank", F.lit(0))
         )
     # (equal-string pairs short-circuit INSIDE the kernel — a JVM-side
     # filter+union split would recompute the block join once per branch)
-    scored = to_score.withColumn(
-        "scores", fuzzy_scores(F.col("STREET_NORM_SPR"), F.col("STREET_NORM_CAD"))
-    )
+    if use_dedup:
+        uniq = _coblocked_street_pairs(spr, cad).withColumn(
+            "scores", fuzzy_scores(F.col("__street_spr"), F.col("__street_cad"))
+        )
+        scored = _attach_pair_scores(to_score, uniq)
+    else:
+        scored = to_score.withColumn(
+            "scores", fuzzy_scores(F.col("STREET_NORM_SPR"), F.col("STREET_NORM_CAD"))
+        )
 
     best_score, best_strategy, strategy_rank = best_of_strategies("scores")
     return (

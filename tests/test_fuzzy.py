@@ -137,3 +137,38 @@ def test_candidate_pairs_custom_columns_without_id(spark):
     out = candidate_pairs(spr, cad, columns=["STREET_NORM"]).toPandas()
     assert len(out) == 1
     assert {"STREET_NORM_SPR", "STREET_NORM_CAD"} <= set(out.columns)
+
+
+def test_dedup_scoring_matches_direct_path(spark):
+    """Round-6 optimization: when the street vocabulary is small,
+    score_candidates scores each DISTINCT co-blocked street pair once and
+    broadcast-joins the scores back. The memoized path must be row-for-row
+    identical to the direct kernel path (same scores, same counts, same
+    top-1 choices) for both scorers."""
+    from registry_address_matcher_spark.config import ScaleConfig
+    from registry_address_matcher_spark.operators.fuzzy import fuzzy_matches, score_candidates
+
+    rows_spr, rows_cad = [], []
+    streets = ["ԱԲՈՎՅԱՆԻ", "ԲԱՂՐԱՄՅԱՆ ՊՈՂՈՏԱ", "ՄԱՇՏՈՑԻ ՊՈՂ", "ՏԵՐՅԱՆ Փ"]
+    cstreets = ["ԱԲՈՎՅԱՆ", "ԲԱՂՐԱՄՅԱՆ ՊՈՂ", "ՄԱՇՏՈՑԻ ՊՈՂՈՏԱ", "ՏԵՐՅԱՆ ՓՈՂՈՑ"]
+    for i in range(40):
+        rows_spr.append({"ADDRESS_ID": f"S{i}", "STREET_NAME": streets[i % 4],
+                         "HOUSE": str(i % 3), "BUILDING": ""})
+        rows_cad.append({"ADDRESS_ID": f"C{i}", "STREET_NAME": cstreets[i % 4],
+                         "HOUSE": str(i % 3), "BUILDING": ""})
+    spr, cad = _reg(spark, rows_spr), _reg(spark, rows_cad)
+    on = ScaleConfig()  # dedup active (default bound)
+    off = ScaleConfig(scoring_dedup_max_pairs=None)
+    for scorer in ("blend4", "jw"):
+        cols = ["ADDRESS_ID_SPR", "ADDRESS_ID_CAD", "best_score", "best_strategy",
+                "strategy_rank", "CANDIDATES_COUNT"]
+        got = sorted(map(tuple, score_candidates(spr, cad, on, scorer=scorer)
+                         .select(*cols).collect()))
+        want = sorted(map(tuple, score_candidates(spr, cad, off, scorer=scorer)
+                          .select(*cols).collect()))
+        assert got == want, f"scorer={scorer}: dedup path diverged"
+    m_on = sorted(map(tuple, fuzzy_matches(spr, cad, scale=on)
+                      .drop("MATCH_TIMESTAMP").collect()))
+    m_off = sorted(map(tuple, fuzzy_matches(spr, cad, scale=off)
+                       .drop("MATCH_TIMESTAMP").collect()))
+    assert m_on == m_off
