@@ -159,15 +159,21 @@ def _scoring_dedup_ok(spr: DataFrame, cad: DataFrame, scale: ScaleConfig) -> boo
     if not bound:
         return False
     try:
-        n_a = (
+        # both sides in ONE action (plan-build actions are fixed cost on
+        # every score_candidates call)
+        rows = (
             spr.filter(F.col("STREET_NORM") != "")
-            .agg(F.countDistinct("STREET_NORM").alias("n")).collect()[0]["n"]
+            .select(F.lit(0).alias("__side"), "STREET_NORM")
+            .unionAll(
+                cad.filter(F.col("STREET_NORM") != "")
+                .select(F.lit(1).alias("__side"), "STREET_NORM")
+            )
+            .groupBy("__side")
+            .agg(F.countDistinct("STREET_NORM").alias("n"))
+            .collect()
         )
-        n_b = (
-            cad.filter(F.col("STREET_NORM") != "")
-            .agg(F.countDistinct("STREET_NORM").alias("n")).collect()[0]["n"]
-        )
-        return int(n_a) * int(n_b) <= bound
+        counts = {int(r["__side"]): int(r["n"]) for r in rows}
+        return counts.get(0, 0) * counts.get(1, 0) <= bound
     except Exception as exc:
         from ..plans.events import record_event
 
@@ -178,22 +184,25 @@ def _scoring_dedup_ok(spr: DataFrame, cad: DataFrame, scale: ScaleConfig) -> boo
         return False
 
 
-def _coblocked_street_pairs(spr: DataFrame, cad: DataFrame) -> DataFrame:
-    """Distinct (street_spr, street_cad) pairs that share at least one
-    block key — a covering superset of the street pairs the scoring
-    stage will see, built from per-side DISTINCT projections (map-side
-    partial aggregation shrinks each side before its shuffle; the join
-    is over vocabulary-sized tables, never the pair set)."""
-    keys = ["HOUSE_NORM", "BUILDING_NORM"]
+def _distinct_street_pairs(spr: DataFrame, cad: DataFrame) -> DataFrame:
+    """Cross of the per-side DISTINCT street vocabularies — a covering
+    superset of the street pairs the scoring stage will see. A plain
+    cross (not a co-block join) keeps the subtree at two map-side
+    distinct aggregates plus one nested-loop join of vocabulary-sized
+    inputs; the guard has already bounded |a| x |b|, so the extra
+    never-co-blocked pairs cost at most the bound's worth of kernel
+    work, spread by the repartition."""
     pa = (
         spr.filter((F.col("HOUSE_NORM") != "") & (F.col("STREET_NORM") != ""))
-        .select(*keys, F.col("STREET_NORM").alias("__street_spr")).distinct()
+        .select(F.col("STREET_NORM").alias("__street_spr")).distinct()
     )
     pb = (
         cad.filter((F.col("HOUSE_NORM") != "") & (F.col("STREET_NORM") != ""))
-        .select(*keys, F.col("STREET_NORM").alias("__street_cad")).distinct()
+        .select(F.col("STREET_NORM").alias("__street_cad")).distinct()
     )
-    return pa.join(pb, keys).select("__street_spr", "__street_cad").distinct()
+    return pa.repartition(spr.sparkSession.sparkContext.defaultParallelism).crossJoin(
+        F.broadcast(pb)
+    )
 
 
 def _attach_pair_scores(to_score: DataFrame, uniq_scored: DataFrame) -> DataFrame:
@@ -275,7 +284,7 @@ def score_candidates(
             return F.round(100.0 * jaro_winkler_udf(a, b), 4)
 
         if use_dedup:
-            uniq = _coblocked_street_pairs(spr, cad).withColumn(
+            uniq = _distinct_street_pairs(spr, cad).withColumn(
                 "best_score", jw_col(F.col("__street_spr"), F.col("__street_cad"))
             )
             scored = _attach_pair_scores(to_score, uniq)
@@ -290,7 +299,7 @@ def score_candidates(
     # (equal-string pairs short-circuit INSIDE the kernel — a JVM-side
     # filter+union split would recompute the block join once per branch)
     if use_dedup:
-        uniq = _coblocked_street_pairs(spr, cad).withColumn(
+        uniq = _distinct_street_pairs(spr, cad).withColumn(
             "scores", fuzzy_scores(F.col("__street_spr"), F.col("__street_cad"))
         )
         scored = _attach_pair_scores(to_score, uniq)
