@@ -145,15 +145,16 @@ def connected_components(
     spark = edges.sparkSession
     n0 = cur.count()
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # ~500k edges/partition bounds partition SIZE at scale; the
-    # defaultParallelism floor bounds IDLE WIDTH at small scale — without
-    # it a 650k-edge graph ran every star-round shuffle at 2 partitions
-    # on a 32-core box (30 cores idle, measured 3.5 s/round at sf1.0).
-    # Both terms are cluster-derived, not constants; session_parts caps
-    # the result exactly as before.
-    cc_parts = max(
-        2,
-        min(session_parts, max(spark.sparkContext.defaultParallelism, n0 // 500_000 + 1)),
+    # size-derived loop width: ~80k edges/partition keeps star-round
+    # tasks meaty while engaging cores as the graph grows (swept at a
+    # 650k-edge graph on 32 cores: 8 partitions 4.2 s vs 32 partitions
+    # 6.1 s vs the old 500k-divisor's 2 partitions 7.5 s — a loop stage
+    # is shuffle-latency-bound, so oversplitting pays per-task and
+    # per-block overhead with no compute to hide it). session_parts
+    # (cluster-sized) caps the count at scale exactly as before; the
+    # divisor is a per-partition SIZE target, not a core-count constant.
+    cc_parts = int(os.environ.get("RAM_SPARK_CC_PARTS", "0")) or max(
+        2, min(session_parts, n0 // 80_000 + 1)
     )
     # small graph -> window-based node-min (see _node_min): the n0 bound
     # holds for every iterate too — star rounds never grow the canonical
