@@ -1152,7 +1152,11 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from registry_address_matcher_spark.sources.io import read_registry, write_csv
 
-    tmp = _os.path.join(_tf.gettempdir(), f"spark_graft_csv_rt_{_os.getpid()}")
+    import uuid as _uuid
+
+    # per-call uuid, not just pid (round-5 advice): two concurrent
+    # constructions in one process raced overwrite-vs-read on one path
+    tmp = _os.path.join(_tf.gettempdir(), f"spark_graft_csv_rt_{_os.getpid()}_{_uuid.uuid4().hex[:8]}")
     write_csv(_load(spark, sf_dir, "nation"), tmp)
     back = read_registry(spark, f"csv:{tmp}")
     return back.select(
@@ -1170,7 +1174,9 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from registry_address_matcher_spark.sources.io import read_registry, write_jsonl
 
-    tmp = _os.path.join(_tf.gettempdir(), f"spark_graft_jsonl_rt_{_os.getpid()}")
+    import uuid as _uuid
+
+    tmp = _os.path.join(_tf.gettempdir(), f"spark_graft_jsonl_rt_{_os.getpid()}_{_uuid.uuid4().hex[:8]}")
     sup = _load(spark, sf_dir, "supplier")
     write_jsonl(sup, tmp)
     back = read_registry(spark, f"jsonl:{tmp}")

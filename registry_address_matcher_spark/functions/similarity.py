@@ -257,6 +257,37 @@ FUZZY_STRUCT_SCHEMA = T.StructType(
 _PAIR_CACHE_MAX = 2_000_000
 
 
+def blend4_scores(a: str, b: str, mask_cache: dict | None = None) -> tuple[float, float, float, float]:
+    """One (token_sort, token_set, partial, ratio) tuple for a single
+    pair — the exact per-pair math of :func:`fuzzy_scores`, shared so the
+    vectorized kernel and the driver-side vocabulary scorer
+    (operators.fuzzy._driver_scored_pairs) cannot drift."""
+    if a == b:
+        return (100.0, 100.0, 100.0, 100.0)
+    if " " not in a and " " not in b:
+        # single-token pair: token_sort == token_set == ratio by
+        # definition (sorting one token is identity; the set intersection
+        # is empty for a != b, so both token scores reduce to indel(a, b))
+        r_ratio = indel_ratio(a, b, mask_cache)
+        return (r_ratio, r_ratio, partial_ratio(a, b, mask_cache), r_ratio)
+    r_sort = indel_ratio(_token_sort(a), _token_sort(b), mask_cache)
+    ta, tb = set(a.split()), set(b.split())
+    if not ta and not tb:
+        r_set = 100.0
+    else:
+        inter = " ".join(sorted(ta & tb))
+        s1 = (inter + " " + " ".join(sorted(ta - tb))).strip()
+        s2 = (inter + " " + " ".join(sorted(tb - ta))).strip()
+        r_set = indel_ratio(s1, s2, mask_cache)
+        if inter:
+            r_set = max(
+                r_set,
+                indel_ratio(inter, s1, mask_cache),
+                indel_ratio(inter, s2, mask_cache),
+            )
+    return (r_sort, r_set, partial_ratio(a, b, mask_cache), indel_ratio(a, b, mask_cache))
+
+
 @pandas_udf(FUZZY_STRUCT_SCHEMA)
 def fuzzy_scores(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
     """All four scorers in one Arrow pass, iterator form (guide §4.5).
@@ -272,31 +303,13 @@ def fuzzy_scores(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.
     the task.
     """
     mask_cache: dict[str, dict[str, int]] = {}
-    sort_cache: dict[str, str] = {}
-    setcache: dict[str, set[str]] = {}
     pair_cache: dict[tuple[str, str], tuple[float, float, float, float]] = {}
-
-    def tsort(s: str) -> str:
-        v = sort_cache.get(s)
-        if v is None:
-            v = _token_sort(s)
-            sort_cache[s] = v
-        return v
-
-    def tset(s: str) -> set[str]:
-        v = setcache.get(s)
-        if v is None:
-            v = set(s.split())
-            setcache[s] = v
-        return v
 
     perfect = (100.0, 100.0, 100.0, 100.0)
     for left, right in batches:
         if len(pair_cache) > _PAIR_CACHE_MAX:
             pair_cache.clear()
             mask_cache.clear()
-            sort_cache.clear()
-            setcache.clear()
         n = len(left)
         out_sort = [0.0] * n
         out_set = [0.0] * n
@@ -312,33 +325,8 @@ def fuzzy_scores(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.
                 continue
             key = (a, b)
             hit = pair_cache.get(key)
-            if hit is None and " " not in a and " " not in b:
-                # single-token pair: token_sort == token_set == ratio by
-                # definition (sorting one token is identity; the set
-                # intersection is empty for a != b, so both token scores
-                # reduce to indel(a, b)) — 2 of 4 LCS computations skipped
-                r_ratio = indel_ratio(a, b, mask_cache)
-                hit = (r_ratio, r_ratio, partial_ratio(a, b, mask_cache), r_ratio)
-                pair_cache[key] = hit
             if hit is None:
-                r_sort = indel_ratio(tsort(a), tsort(b), mask_cache)
-                ta, tb = tset(a), tset(b)
-                if not ta and not tb:
-                    r_set = 100.0
-                else:
-                    inter = " ".join(sorted(ta & tb))
-                    s1 = (inter + " " + " ".join(sorted(ta - tb))).strip()
-                    s2 = (inter + " " + " ".join(sorted(tb - ta))).strip()
-                    r_set = indel_ratio(s1, s2, mask_cache)
-                    if inter:
-                        r_set = max(
-                            r_set,
-                            indel_ratio(inter, s1, mask_cache),
-                            indel_ratio(inter, s2, mask_cache),
-                        )
-                r_partial = partial_ratio(a, b, mask_cache)
-                r_ratio = indel_ratio(a, b, mask_cache)
-                hit = (r_sort, r_set, r_partial, r_ratio)
+                hit = blend4_scores(a, b, mask_cache)
                 pair_cache[key] = hit
             out_sort[i], out_set[i], out_partial[i], out_ratio[i] = hit
         yield pd.DataFrame(

@@ -223,6 +223,15 @@ def global_rank(
         (r["__gr_pid"], r["n"])
         for r in parted.groupBy("__gr_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     )
+    if release_handle is None:
+        # no caller handle -> nothing would ever unpersist this copy
+        # (round-5 advice: repeated calls grew block-manager usage
+        # monotonically). The offsets collect above has executed the
+        # range shuffle, so the ranked output's jobs re-read the SAME
+        # shuffle files (the map stage is already computed and the
+        # dependency pins the sampled range boundaries) — dropping the
+        # cached blocks costs only the post-shuffle projection.
+        parted.unpersist()
     offsets, acc = [], 0
     for pid, n in counts:
         offsets.append((pid, acc))

@@ -148,32 +148,64 @@ def _scoring_partitions(spr: DataFrame, cad: DataFrame, scale: ScaleConfig | Non
     return max(cores * 4, 8)
 
 
-def _scoring_dedup_ok(spr: DataFrame, cad: DataFrame, scale: ScaleConfig) -> bool:
-    """True when distinct-pair scoring memoization is safe: the product
-    of per-side distinct street counts (an upper bound on distinct
-    scored pairs, cheaper to compute than the true pair-distinct) fits
-    ``scale.scoring_dedup_max_pairs``. Failure of the estimate falls
-    back to direct scoring — an optimization guard, never a failure
-    mode (recorded, like the partition estimate)."""
+#: vocabulary-product ceiling for DRIVER-side distinct-pair scoring:
+#: below it the whole vocabulary is collected in one bounded action
+#: (<= this many strings per side) and scored in-process — ~0.4 s of
+#: single-thread kernel work worst-case — replacing the distinct-
+#: aggregate + Python-worker broadcast subtree with a LocalTableScan.
+#: Between this and scoring_dedup_max_pairs, the distinct pairs are
+#: built and scored distributedly instead.
+_DRIVER_SCORE_MAX_PAIRS = 50_000
+
+
+def _vocab_union(spr: DataFrame, cad: DataFrame) -> DataFrame:
+    """Side-tagged union of the two filtered street projections (the
+    vocabulary carrier both guard actions aggregate over)."""
+    return (
+        spr.filter((F.col("HOUSE_NORM") != "") & (F.col("STREET_NORM") != ""))
+        .select(F.lit(0).alias("__side"), "STREET_NORM")
+        .unionAll(
+            cad.filter((F.col("HOUSE_NORM") != "") & (F.col("STREET_NORM") != ""))
+            .select(F.lit(1).alias("__side"), "STREET_NORM")
+        )
+    )
+
+
+def _scoring_dedup_mode(spr: DataFrame, cad: DataFrame, scale: ScaleConfig):
+    """Pick the distinct-pair memoization tier from the vocabulary sizes.
+
+    Returns one of:
+      ("driver", va, vb) — vocabulary product <= _DRIVER_SCORE_MAX_PAIRS:
+        both (bounded) street lists are collected and the score table is
+        built in-process (a LocalTableScan broadcast — no distinct
+        aggregates or Python-worker stage in the plan);
+      ("spark", None, None) — product fits scale.scoring_dedup_max_pairs:
+        distinct pairs are built and scored distributedly;
+      ("direct", None, None) — vocabulary too large (or estimate
+        failed): the kernel runs over the pair set as before.
+    One countDistinct action for both sides; the driver tier adds one
+    collect bounded by the product bound (so at most
+    _DRIVER_SCORE_MAX_PAIRS strings per side, typically far fewer)."""
     bound = scale.scoring_dedup_max_pairs
     if not bound:
-        return False
+        return ("direct", None, None)
     try:
-        # both sides in ONE action (plan-build actions are fixed cost on
-        # every score_candidates call)
         rows = (
-            spr.filter(F.col("STREET_NORM") != "")
-            .select(F.lit(0).alias("__side"), "STREET_NORM")
-            .unionAll(
-                cad.filter(F.col("STREET_NORM") != "")
-                .select(F.lit(1).alias("__side"), "STREET_NORM")
-            )
+            _vocab_union(spr, cad)
             .groupBy("__side")
             .agg(F.countDistinct("STREET_NORM").alias("n"))
             .collect()
         )
         counts = {int(r["__side"]): int(r["n"]) for r in rows}
-        return counts.get(0, 0) * counts.get(1, 0) <= bound
+        prod = counts.get(0, 0) * counts.get(1, 0)
+        if prod > bound:
+            return ("direct", None, None)
+        if prod > _DRIVER_SCORE_MAX_PAIRS:
+            return ("spark", None, None)
+        vocab = _vocab_union(spr, cad).distinct().collect()
+        va = sorted(r["STREET_NORM"] for r in vocab if r["__side"] == 0)
+        vb = sorted(r["STREET_NORM"] for r in vocab if r["__side"] == 1)
+        return ("driver", va, vb)
     except Exception as exc:
         from ..plans.events import record_event
 
@@ -181,7 +213,34 @@ def _scoring_dedup_ok(spr: DataFrame, cad: DataFrame, scale: ScaleConfig) -> boo
             "scoring", "dedup_estimate_failed",
             f"{type(exc).__name__}; scoring pairs directly",
         )
-        return False
+        return ("direct", None, None)
+
+
+def _driver_scored_pairs(spark, va: list[str], vb: list[str], scorer: str) -> DataFrame:
+    """Score the vocabulary cross in-process with the SAME kernel
+    functions the UDFs use (similarity.blend4_scores /
+    jaro_winkler_similarity — identical floats by construction) and
+    return a local score table. Kernel work is bounded by
+    _DRIVER_SCORE_MAX_PAIRS (~0.4 s single-thread worst case); any
+    scaling/rounding stays in Spark expressions so both paths share
+    them."""
+    from ..functions.similarity import blend4_scores, jaro_winkler_similarity
+
+    if scorer == "jw":
+        data = [
+            (a, b, jaro_winkler_similarity(a, b)) for a in va for b in vb
+        ]
+        return spark.createDataFrame(
+            data, "__street_spr string, __street_cad string, __jw_raw double"
+        )
+    mask_cache: dict = {}
+    data = [(a, b, blend4_scores(a, b, mask_cache)) for a in va for b in vb]
+    return spark.createDataFrame(
+        data,
+        "__street_spr string, __street_cad string, "
+        "scores struct<token_sort_ratio:double,token_set_ratio:double,"
+        "partial_ratio:double,ratio:double>",
+    )
 
 
 def _distinct_street_pairs(spr: DataFrame, cad: DataFrame) -> DataFrame:
@@ -248,7 +307,8 @@ def score_candidates(
     # score distinct pairs once when the vocabulary is small (guide §8:
     # decide on the lightweight proxy, attach back to the heavy rows) —
     # the pair set then never crosses the JVM<->Python boundary
-    use_dedup = _scoring_dedup_ok(spr, cad, scale)
+    mode, va, vb = _scoring_dedup_mode(spr, cad, scale)
+    use_dedup = mode != "direct"
     if not use_dedup:
         # explicit repartition before the Arrow kernel: AQE sizes partitions
         # by COMPRESSED shuffle bytes, and candidate pairs compress extremely
@@ -283,7 +343,12 @@ def score_candidates(
         def jw_col(a, b):
             return F.round(100.0 * jaro_winkler_udf(a, b), 4)
 
-        if use_dedup:
+        if mode == "driver":
+            uniq = _driver_scored_pairs(spr.sparkSession, va, vb, "jw").withColumn(
+                "best_score", F.round(100.0 * F.col("__jw_raw"), 4)
+            ).drop("__jw_raw")
+            scored = _attach_pair_scores(to_score, uniq)
+        elif mode == "spark":
             uniq = _distinct_street_pairs(spr, cad).withColumn(
                 "best_score", jw_col(F.col("__street_spr"), F.col("__street_cad"))
             )
@@ -298,7 +363,10 @@ def score_candidates(
         )
     # (equal-string pairs short-circuit INSIDE the kernel — a JVM-side
     # filter+union split would recompute the block join once per branch)
-    if use_dedup:
+    if mode == "driver":
+        uniq = _driver_scored_pairs(spr.sparkSession, va, vb, "blend4")
+        scored = _attach_pair_scores(to_score, uniq)
+    elif mode == "spark":
         uniq = _distinct_street_pairs(spr, cad).withColumn(
             "scores", fuzzy_scores(F.col("__street_spr"), F.col("__street_cad"))
         )

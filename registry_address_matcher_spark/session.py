@@ -92,10 +92,16 @@ def get_spark(
         # a bigger driver (large collects/broadcasts) override with
         # SPARK_GRAFT_DRIVER_MEM (see README "Memory & local-dir
         # defaults").
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if not under_submit:
+        # under spark-submit the driver JVM is already running, so this
+        # setting would be silently ignored — defer to the submit conf
+        # like the other local-host-sized defaults (round-5 advice)
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     if master:
         builder = builder.master(master)
     if shuffle_partitions is not None:

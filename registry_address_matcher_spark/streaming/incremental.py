@@ -49,8 +49,11 @@ def incremental_match(
     ``sink(matches_df, batch_id)``. Caller starts it (``.start()`` /
     ``.trigger(availableNow=True)``) and owns checkpointLocation. The
     cached build side lives as long as the writer; it is NOT released
-    per batch — stop the query and ``cad_prepared.unpersist()`` is the
-    session's job (executor exit reclaims it otherwise)."""
+    per batch — after stopping the query, call
+    ``writer.release_build_side()`` (attached below) to free the cached
+    registry; a long-lived driver that starts/stops many streams
+    otherwise accumulates unreleasable MEMORY_AND_DISK copies (round-5
+    advice)."""
     from ..operators.preprocess import preprocess_registry
 
     cad_prepared = preprocess_registry(cad_static).persist()
@@ -73,4 +76,8 @@ def incremental_match(
             # stream's lifetime
             res.release()
 
-    return probe_stream.writeStream.foreachBatch(_match_batch).outputMode("append")
+    writer = probe_stream.writeStream.foreachBatch(_match_batch).outputMode("append")
+    # hand the caller the release handle: the writer object is the only
+    # thing the caller holds, so the unpersist rides on it
+    writer.release_build_side = lambda blocking=False: cad_prepared.unpersist(blocking)
+    return writer

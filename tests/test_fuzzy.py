@@ -157,16 +157,27 @@ def test_dedup_scoring_matches_direct_path(spark):
         rows_cad.append({"ADDRESS_ID": f"C{i}", "STREET_NAME": cstreets[i % 4],
                          "HOUSE": str(i % 3), "BUILDING": ""})
     spr, cad = _reg(spark, rows_spr), _reg(spark, rows_cad)
-    on = ScaleConfig()  # dedup active (default bound)
+    on = ScaleConfig()  # dedup active (default bound) -> driver tier here
     off = ScaleConfig(scoring_dedup_max_pairs=None)
+    import registry_address_matcher_spark.operators.fuzzy as fz
+
     for scorer in ("blend4", "jw"):
         cols = ["ADDRESS_ID_SPR", "ADDRESS_ID_CAD", "best_score", "best_strategy",
                 "strategy_rank", "CANDIDATES_COUNT"]
-        got = sorted(map(tuple, score_candidates(spr, cad, on, scorer=scorer)
-                         .select(*cols).collect()))
         want = sorted(map(tuple, score_candidates(spr, cad, off, scorer=scorer)
                           .select(*cols).collect()))
-        assert got == want, f"scorer={scorer}: dedup path diverged"
+        got = sorted(map(tuple, score_candidates(spr, cad, on, scorer=scorer)
+                         .select(*cols).collect()))
+        assert got == want, f"scorer={scorer}: driver-tier dedup diverged"
+        # force the distributed tier (monkeypatch the driver ceiling to 0)
+        old = fz._DRIVER_SCORE_MAX_PAIRS
+        fz._DRIVER_SCORE_MAX_PAIRS = 0
+        try:
+            got_spark = sorted(map(tuple, score_candidates(spr, cad, on, scorer=scorer)
+                                   .select(*cols).collect()))
+        finally:
+            fz._DRIVER_SCORE_MAX_PAIRS = old
+        assert got_spark == want, f"scorer={scorer}: spark-tier dedup diverged"
     m_on = sorted(map(tuple, fuzzy_matches(spr, cad, scale=on)
                       .drop("MATCH_TIMESTAMP").collect()))
     m_off = sorted(map(tuple, fuzzy_matches(spr, cad, scale=off)
