@@ -103,6 +103,17 @@ FROM ({base_sql})
 # queries
 # ---------------------------------------------------------------------------
 
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster width. The driver testdata
+    parquet files are single row groups — an unsplittable one-task scan —
+    so compute-heavy queries over them (interpreted higher-order folds,
+    per-shingle hashing, big explodes) would otherwise run serially no
+    matter the core count (guide §2.5: input skew -> repartition after
+    the read). The shuffle moved is the small source table, never the
+    derived pair/gram sets."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 def q_normalize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 — the full normalizer as native expressions (SURVEY §2.2)."""
     part = _load(spark, sf_dir, "part")
@@ -501,7 +512,7 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine; see plans/quality.table_profile)."""
     from registry_address_matcher_spark.plans.quality import table_profile
 
-    li = _load(spark, sf_dir, "lineitem")
+    li = _spread(spark, _load(spark, sf_dir, "lineitem"))
     return table_profile(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
@@ -523,7 +534,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-native split→sequence→slice→posexplode (plans/corpus.py)."""
     from registry_address_matcher_spark.plans.corpus import chunk_documents
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(spark, _load(spark, sf_dir, "documents"))
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=64)
 
 
@@ -752,7 +763,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(spark, _load(spark, sf_dir, "documents"))
     sigs = minhash_signatures(
         docs, "doc_id", "text", shingle_n=5, num_perm=64, hash_mode="md5"
     )
@@ -767,7 +778,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_signatures,
     )
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(spark, _load(spark, sf_dir, "documents"))
     sigs = simhash_signatures(docs, "doc_id", "text", hash_mode="md5")
     return simhash_pairs(sigs, max_hamming=8)
 
@@ -1054,7 +1065,7 @@ def q_neardup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chain end-to-end (signatures AND clustering), hash-for-hash."""
     from registry_address_matcher_spark.plans.curate import neardup_ledger
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(spark, _load(spark, sf_dir, "documents"))
     # md5 mode: cross-engine hashes AND raw (uncompressed) bucket keys,
     # so the oracle reproduces the chain hash-for-hash; CC is
     # string-keyed (component = lexicographic min node id) and the
@@ -1126,7 +1137,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios) — the Gopher-style repetition filters, one scan, no UDF."""
     from registry_address_matcher_spark.functions.text import repetition_features
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(spark, _load(spark, sf_dir, "documents"))
     feats = repetition_features(F.col("text"))
     return docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
 
@@ -1139,7 +1150,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
-    return contamination_report(docs, eval_df, n=5, exclude_self=True)
+    return contamination_report(_spread(spark, docs), eval_df, n=5, exclude_self=True)
 
 
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -601,13 +601,28 @@ def embedding_neardup_pairs(
     all sign bits with high probability). ``dim`` is required on the LSH
     path — inferring it would cost a driver-side action at plan-build
     time."""
+    # per-row norm projected BEFORE pair formation: each ||v|| fold runs
+    # once per row instead of once per pair, and try_divide(dot, nl*nr)
+    # evaluates to the identical doubles (same fold, same inputs) as the
+    # inline cosine_col form it replaces (guide §2.3: move work off the
+    # quadratic path)
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    )
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("nv", norm(F.col("v")))
     if exact:
-        left = vecs.select(F.col("id").alias("id_l"), F.col("v").alias("v_l"))
-        right = vecs.select(F.col("id").alias("id_r"), F.col("v").alias("v_r"))
+        # the streamed side is spread to cluster width first — a
+        # single-row-group parquet scan otherwise runs the whole
+        # quadratic pair loop in one task (the embedding_topk disease)
+        left = vecs.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+            F.col("id").alias("id_l"), F.col("v").alias("v_l"), F.col("nv").alias("n_l")
+        )
+        right = vecs.select(
+            F.col("id").alias("id_r"), F.col("v").alias("v_r"), F.col("nv").alias("n_r")
+        )
         pairs = left.crossJoin(right).filter(F.col("id_l") < F.col("id_r"))
     else:
         if dim is None:
@@ -619,11 +634,19 @@ def embedding_neardup_pairs(
         keyed = vecs.crossJoin(F.broadcast(tables)).withColumn(
             "k", hyperplane_bucket_over(F.col("v"), F.col("__ts")[0])
         ).drop("__ts")
-        left = keyed.select("k", F.col("id").alias("id_l"), F.col("v").alias("v_l"))
-        right = keyed.select("k", F.col("id").alias("id_r"), F.col("v").alias("v_r"))
+        left = keyed.select(
+            "k", F.col("id").alias("id_l"), F.col("v").alias("v_l"), F.col("nv").alias("n_l")
+        )
+        right = keyed.select(
+            "k", F.col("id").alias("id_r"), F.col("v").alias("v_r"), F.col("nv").alias("n_r")
+        )
         pairs = left.join(right, "k").filter(F.col("id_l") < F.col("id_r"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v_l"), F.col("v_r"), lambda x, y: x * y),
+        F.lit(0.0), lambda s, x: s + x,
+    )
     return (
-        pairs.withColumn("cos", F.round(cosine_col(F.col("v_l"), F.col("v_r")), 6))
+        pairs.withColumn("cos", F.round(F.try_divide(dot, F.col("n_l") * F.col("n_r")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_l", "id_r", "cos")
     )

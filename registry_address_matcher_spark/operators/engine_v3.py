@@ -63,8 +63,13 @@ def multi_block_candidates(
         ("house2", F.substring("house_s", 1, 2), F.substring("house_c", 1, 2), F.col("house_s") != ""),
         ("street3", F.substring("street_s", 1, 3), F.substring("street_c", 1, 3), F.col("street_s") != ""),
     ]:
-        l = s.filter(guard).withColumn("__bk", expr_s)
-        r = c.withColumn("__bk", expr_c).filter(F.col("__bk") != "")
+        # ids + block key ONLY ride the join/cap/dedup shuffles (guide
+        # §2.3: project before the exchange) — the street/house/building
+        # strings are never needed downstream (match_v3 re-attaches
+        # SEARCH_KEY by id), and carrying them multiplied every pair-set
+        # shuffle's bytes ~5x
+        l = s.filter(guard).withColumn("__bk", expr_s).select("id_s", "__bk")
+        r = c.withColumn("__bk", expr_c).filter(F.col("__bk") != "").select("id_c", "__bk")
         joined = salted_join(l, r, ["__bk"], scale, probe_salt_cols=["id_s"])
         if scale.max_pairs_per_block is not None:
             from .blocking import cap_block
