@@ -112,8 +112,12 @@ def exact_key_matches(
         "inner",
     )
     if exclude_pairs is not None:
+        # shuffle_hash, not sort-merge: the anti probe only needs a hash
+        # set of the exclude pairs per partition — SMJ would sort BOTH
+        # sides for an existence check (guide §3.1); build side is the
+        # phase-1 match set, bounded per partition by the shuffle width
         pairs = pairs.join(
-            exclude_pairs.select("ADDRESS_ID_SPR", "ADDRESS_ID_CAD"),
+            exclude_pairs.select("ADDRESS_ID_SPR", "ADDRESS_ID_CAD").hint("shuffle_hash"),
             ["ADDRESS_ID_SPR", "ADDRESS_ID_CAD"],
             "left_anti",
         )
@@ -121,9 +125,10 @@ def exact_key_matches(
 
 
 def exclude_matched(spr: DataFrame, matches: DataFrame) -> DataFrame:
-    """J3 — drop SPR rows that already matched (advanced_matcher.py:183-187)."""
+    """J3 — drop SPR rows that already matched (advanced_matcher.py:183-187).
+    shuffle_hash-hinted anti: no sort for an existence probe (guide §3.1)."""
     ids = matches.select(F.col("ADDRESS_ID_SPR").alias("ADDRESS_ID")).distinct()
-    return spr.join(ids, "ADDRESS_ID", "left_anti")
+    return spr.join(ids.hint("shuffle_hash"), "ADDRESS_ID", "left_anti")
 
 
 def unmatched(spr: DataFrame, matches: DataFrame) -> DataFrame:
