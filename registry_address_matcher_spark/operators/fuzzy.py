@@ -190,6 +190,23 @@ def _scoring_dedup_mode(spr: DataFrame, cad: DataFrame, scale: ScaleConfig):
     if not bound:
         return ("direct", None, None)
     try:
+        # ONE bounded action in the common case: pull the distinct
+        # side-tagged vocabulary up to a row cap. Under the cap the lists
+        # themselves are in hand, so every tier decision is exact with no
+        # second job; over the cap (collect returned the cap+ rows but
+        # never more — a few MB worst case) fall back to one
+        # countDistinct action to choose spark-vs-direct.
+        row_cap = 20_000
+        vocab = _vocab_union(spr, cad).distinct().limit(row_cap + 1).collect()
+        if len(vocab) <= row_cap:
+            va = sorted(r["STREET_NORM"] for r in vocab if r["__side"] == 0)
+            vb = sorted(r["STREET_NORM"] for r in vocab if r["__side"] == 1)
+            prod = len(va) * len(vb)
+            if prod > bound:
+                return ("direct", None, None)
+            if prod > _DRIVER_SCORE_MAX_PAIRS:
+                return ("spark", None, None)
+            return ("driver", va, vb)
         rows = (
             _vocab_union(spr, cad)
             .groupBy("__side")
@@ -200,12 +217,7 @@ def _scoring_dedup_mode(spr: DataFrame, cad: DataFrame, scale: ScaleConfig):
         prod = counts.get(0, 0) * counts.get(1, 0)
         if prod > bound:
             return ("direct", None, None)
-        if prod > _DRIVER_SCORE_MAX_PAIRS:
-            return ("spark", None, None)
-        vocab = _vocab_union(spr, cad).distinct().collect()
-        va = sorted(r["STREET_NORM"] for r in vocab if r["__side"] == 0)
-        vb = sorted(r["STREET_NORM"] for r in vocab if r["__side"] == 1)
-        return ("driver", va, vb)
+        return ("spark", None, None)
     except Exception as exc:
         from ..plans.events import record_event
 
