@@ -1124,11 +1124,18 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     counts = pii_counts(F.col("text"))
-    return seeded.select(
+    # bind the ~8-regex scrub chain ONCE via a projected column — the
+    # two-reference spelling evaluated the whole chain per consumer
+    # (plan showed the regexp_replace chain twice; round-5 verdict #5)
+    scrubbed = seeded.select(
         "doc_id",
         *[c.alias(f"n_{k}") for k, c in counts.items()],
-        F.length(scrub_pii_col(F.col("text"))).alias("scrubbed_len"),
-        F.substring(scrub_pii_col(F.col("text")), 1, 40).alias("scrubbed_prefix"),
+        scrub_pii_col(F.col("text")).alias("__scrubbed"),
+    )
+    return scrubbed.select(
+        *[c for c in scrubbed.columns if c != "__scrubbed"],
+        F.length("__scrubbed").alias("scrubbed_len"),
+        F.substring("__scrubbed", 1, 40).alias("scrubbed_prefix"),
     )
 
 
