@@ -116,7 +116,7 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 def q_normalize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 — the full normalizer as native expressions (SURVEY §2.2)."""
-    part = _load(spark, sf_dir, "part")
+    part = _spread(spark, _load(spark, sf_dir, "part"))
     return part.select(
         F.col("p_partkey").alias("id"),
         normalize_col(F.col("p_name")).alias("name_norm"),
@@ -467,7 +467,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (SURVEY training-data ops)."""
     from registry_address_matcher_spark.operators.dedup import jaccard_pairs
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(spark, _load(spark, sf_dir, "documents"))
     return jaccard_pairs(docs, "doc_id", "text", ["lang", "n_chars"], n=3, threshold=0.3)
 
 
@@ -913,7 +913,7 @@ def q_repos_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_pairs,
     )
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(spark, _load(spark, sf_dir, "documents"))
     repos = docs.select(
         F.concat(F.lit("org/"), F.col("source")).alias("repo"),
         F.concat(F.lit("docs/d"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
