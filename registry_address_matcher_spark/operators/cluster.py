@@ -135,7 +135,9 @@ def connected_components(
 
     scale = scale or ScaleConfig()
     debug = bool(os.environ.get("RAM_SPARK_DEBUG"))
-    cur = _canonical(edges).localCheckpoint()
+    # lazy checkpoint: the count() below materializes it inside its own
+    # job instead of paying a separate eager-checkpoint job first
+    cur = _canonical(edges).localCheckpoint(eager=False)
     # size the iteration shuffles to the graph: every star round is 2-3
     # shuffles of the edge set, and running a 10k-edge graph through the
     # session-wide partition count (sized for the big pairwise join) just
@@ -184,7 +186,9 @@ def _cc_loop(
         # small_star output is already canonical (src < dst, deduped)
         nxt = _small_star(_large_star(cur, n_part, window_ok), n_part, window_ok)
         if scale.cc_checkpoint_interval and (it % scale.cc_checkpoint_interval == 0):
-            nxt = nxt.localCheckpoint()
+            # lazy: the fingerprint aggregate right below is the round's
+            # materializing action — one job per round instead of two
+            nxt = nxt.localCheckpoint(eager=False)
         fp = _fingerprint(nxt)
         if debug:
             print(f"[cc] iter {it}: {time.time() - t0:.2f}s edges={fp[0]}", flush=True)
