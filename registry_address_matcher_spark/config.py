@@ -61,13 +61,19 @@ class ScaleConfig:
     # below this many (canonical) edges use a Window.partitionBy(src)
     # min — one shuffle, no join-back — because the total edge count
     # bounds ANY node's neighborhood, so the worst "hub" task sorts at
-    # most this many rows (~2M string pairs sorts in well under a
-    # second). Above it, the skew-safe groupBy+min+join-back path runs:
+    # most this many rows (a few million string pairs sorts in low
+    # seconds). Above it, the skew-safe groupBy+min+join-back path runs:
     # a collapsing billion-node component's hub neighborhood approaches
     # component size and a window would put it in ONE task. Measured at
     # sf0.1 (the window bound applies): the join-back path cost ~46%
-    # extra wall on the clustering stage for zero skew benefit.
-    cc_window_max_edges: int = 2_000_000
+    # extra wall on the clustering stage for zero skew benefit; at a
+    # 1.27M-canonical-edge graph (just past the old 2M bidirected
+    # bound) join-back rounds cost ~4x the window rounds' wall even
+    # with the shuffle_hash join-back. 8M keeps mid-size graphs on the
+    # window path — the worst-case hub task sorts 8M short rows, low
+    # seconds and inside executor memory — while billion-edge graphs
+    # still take the skew-safe path.
+    cc_window_max_edges: int = 8_000_000
     # -- CPU-bound Arrow-stage partitioning ---------------------------------
     # Target candidate pairs per scoring partition. ~320k pairs/partition
     # is the measured sweet spot for the 4-scorer kernel (10.2M-pair job,
