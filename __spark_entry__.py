@@ -352,20 +352,9 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = corpus.crossJoin(F.broadcast(probes)).filter(
         F.col("vec_id") != F.col("q_id")
     )
-    fold_dot = F.aggregate(
+    dot = F.aggregate(
         F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
-    # per-pair hot path: the dim-64 dot unrolled to a codegen-able sum.
-    # Seeded with the same 0.0 and summed in the same left-to-right
-    # order as the fold, so the doubles are bit-identical (verified
-    # eqNullSafe over every pair at sf1.0); a size guard falls back to
-    # the generic fold for any non-64-dim row, so results are identical
-    # on ANY input. ~1.5x on the pair stage (the lambda fold evaluates
-    # interpreted per element; the unrolled tree compiles).
-    unrolled = F.lit(0.0)
-    for _i in range(64):
-        unrolled = unrolled + F.col("qv").getItem(_i) * F.col("v").getItem(_i)
-    dot = F.when((F.size("qv") == 64) & (F.size("v") == 64), unrolled).otherwise(fold_dot)
     pairs = pairs.withColumn("cos", F.round(dot / (F.col("nq") * F.col("nv")), 6))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
