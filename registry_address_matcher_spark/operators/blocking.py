@@ -223,15 +223,16 @@ def global_rank(
         (r["__gr_pid"], r["n"])
         for r in parted.groupBy("__gr_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     )
-    if release_handle is None:
-        # no caller handle -> nothing would ever unpersist this copy
-        # (round-5 advice: repeated calls grew block-manager usage
-        # monotonically). The offsets collect above has executed the
-        # range shuffle, so the ranked output's jobs re-read the SAME
-        # shuffle files (the map stage is already computed and the
-        # dependency pins the sampled range boundaries) — dropping the
-        # cached blocks costs only the post-shuffle projection.
-        parted.unpersist()
+    # NOTE (round-6): an internal `parted.unpersist()` here when the
+    # caller passes no release handle was tried for the round-5 leak
+    # advice and REVERTED — under AQE the ranked output's later actions
+    # replan and re-execute the range shuffle instead of re-reading the
+    # first execution's exchange, so the re-sampled boundaries (and
+    # spark_partition_id assignments) can drift from the ones the
+    # offsets were computed against, corrupting global ranks (caught by
+    # the snm_pairs oracle at sf0.01). The cache is load-bearing for
+    # correctness, not just speed; callers that loop must pass
+    # ``release_handle`` and unpersist once the output is consumed.
     offsets, acc = [], 0
     for pid, n in counts:
         offsets.append((pid, acc))
