@@ -732,25 +732,39 @@ def q_match_score_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_v3_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 — the v3 engine's 4-way multi-blocking union, deduped pairs."""
+    """J6 — the v3 engine's 4-way multi-blocking union, deduped pairs.
+
+    Caps OFF to match the declared oracle SQL exactly: _V3_MULTIBLOCK_ORACLE
+    is the plain uncapped union, and the library's default
+    max_pairs_per_block (a scale guard) starts binding around sf0.1 —
+    at the driver's gate SFs the cap never fires so results there are
+    identical either way, but parity must hold at ANY sf. The capped
+    path stays covered by test_blocking_cap.py."""
+    from registry_address_matcher_spark.config import ScaleConfig
     from registry_address_matcher_spark.operators.engine_v3 import (
         multi_block_candidates,
     )
 
     spr = preprocess_registry(_spr(spark, sf_dir))
     cad = preprocess_registry(_cad(spark, sf_dir))
-    return multi_block_candidates(spr, cad).select("id_s", "id_c")
+    scale = ScaleConfig(max_pairs_per_block=None)
+    return multi_block_candidates(spr, cad, scale).select("id_s", "id_c")
 
 
 def q_v3_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 + T3 — full v3 flow: exact SEARCH_KEY phase, fuzzy over the
     multi-block union ONLY for probes the exact phase missed, per-probe
-    top-k. jw scorer mode for oracle parity."""
+    top-k. jw scorer mode for oracle parity.
+
+    Caps OFF for the same reason as q_v3_multiblock: _V3_MATCH_ORACLE's
+    cand CTE is the uncapped union — identical results at gate SFs,
+    parity preserved at every sf."""
+    from registry_address_matcher_spark.config import ScaleConfig
     from registry_address_matcher_spark.operators.engine_v3 import match_v3
 
     spr = preprocess_registry(_spr(spark, sf_dir))
     cad = preprocess_registry(_cad(spark, sf_dir))
-    return match_v3(spr, cad, scorer="jw")
+    return match_v3(spr, cad, scorer="jw", scale=ScaleConfig(max_pairs_per_block=None))
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
