@@ -931,7 +931,16 @@ def q_repos_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are value-identical to shingle_side's (both cross_hash60 % p), so
     # the oracle still matches hash-for-hash
     side_out: list = []
-    cand = candidate_block_pairs(norm, cfg, side_out=side_out)
+    # band-block cap OFF to match the declared oracle exactly: the
+    # oracle's band_pairs CTE is the uncapped band-bucket join (its only
+    # encoded truncation is the phonetic_block_cap, which cfg carries).
+    # The default max_pairs_per_block guard stays on for the production
+    # pipeline (bench.py, match_job) — same contract as q_v3_multiblock.
+    from registry_address_matcher_spark.config import ScaleConfig as _SC
+
+    cand = candidate_block_pairs(
+        norm, cfg, scale=_SC(max_pairs_per_block=None), side_out=side_out
+    )
     scored = score_pairs(cand, norm, cfg, side=side_out[0])
     pairs = accepted_pairs(scored, cfg).unionByName(
         exact.select("id_l", "id_r", "score", "match_type")

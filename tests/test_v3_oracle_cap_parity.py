@@ -84,3 +84,15 @@ def test_v3_match_declared_query_source_uses_uncapped_scale():
 
     src = inspect.getsource(entry_mod.q_v3_match)
     assert "max_pairs_per_block=None" in src
+
+
+def test_repos_match_declared_query_source_uses_uncapped_scale():
+    """Same latent class as v3: _repos_match_oracle's band_pairs CTE is
+    the uncapped band-bucket join (its only encoded truncation is the
+    phonetic_block_cap), so the declared query must disable the
+    band-block pair cap; a >1M-pair band bucket (~1.4k identical docs)
+    is too heavy to build in CI, so pin the construction."""
+    import inspect
+
+    src = inspect.getsource(entry_mod.q_repos_match)
+    assert "max_pairs_per_block=None" in src
